@@ -1,0 +1,177 @@
+"""Typed configuration for the COMBAT-TPU framework.
+
+TPU-native re-design of the reference's argparse schema (reference:
+``config.py:4-86``) plus the per-dataset overrides that each reference entry
+point patches imperatively into its ``main()`` (e.g. reference
+``train_generator.py:470-487``).  One frozen dataclass replaces the global
+argparse namespace; :func:`apply_dataset_preset` replaces the copy-pasted
+``if opt.dataset == ...`` blocks; :func:`build_parser` keeps full CLI parity
+with the documented flags (reference ``README.md:30-100``).
+
+Deliberate fixes vs the reference (documented per SURVEY.md §5):
+  * milestone flags are parsed as comma-separated ints — the reference used
+    ``type=list`` which turns CLI overrides into character lists
+    (reference ``config.py:27-29``);
+  * ``--sigma`` is parsed as ``lo,hi`` floats rather than ``type=tuple``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class Config:
+    # --- paths / run management (reference config.py:7-15) ---
+    data_root: str = "./data"
+    checkpoints: str = "./checkpoints"
+    temps: str = "./temps"
+    device: str = "tpu"  # informational; JAX picks the backend
+    continue_training: bool = False
+    saving_prefix: Optional[str] = None
+    attack_mode: str = "all2one"
+    load_checkpoint: str = ""
+    load_checkpoint_clean: Optional[str] = None
+
+    # --- dataset geometry (reference config.py:17-21) ---
+    dataset: str = "cifar10"
+    input_height: int = 32
+    input_width: int = 32
+    input_channel: int = 3
+    num_classes: int = 10
+
+    # --- optimization (reference config.py:23-35) ---
+    bs: int = 128
+    lr_C: float = 1e-2
+    lr_G: float = 1e-2
+    lr_clean: float = 1e-2
+    schedulerC_milestones: Tuple[int, ...] = (100, 150)
+    schedulerG_milestones: Tuple[int, ...] = (100, 150)
+    scheduler_clean_milestones: Tuple[int, ...] = (100, 150)
+    schedulerC_lambda: float = 0.1
+    schedulerG_lambda: float = 0.1
+    scheduler_clean_lambda: float = 0.1
+    n_iters: int = 200
+    num_workers: int = 6  # unused on TPU (data lives on device); kept for CLI parity
+    lambda_cov: float = 1.0
+
+    # --- attack knobs (reference config.py:37-45) ---
+    noise_rate: float = 0.08
+    target_label: int = 0
+    pc: float = 0.5
+    cross_rate: float = 1.0
+    s: int = 2
+    grid_rescale: float = 0.15
+    ratio: float = 0.65  # DCT low-pass cutoff fraction
+    kernel_size: int = 3  # Gaussian blur kernel
+    sigma: Tuple[float, float] = (0.1, 1.0)  # Gaussian blur sigma range
+
+    # --- augmentation (reference config.py:47-48) ---
+    random_rotation: int = 10
+    random_crop: int = 5
+
+    # --- WaNet / grid extras (reference config.py:50-61) ---
+    scale: float = 1.0
+    S2: int = 8
+    clamp: bool = False
+    nearest: float = 0.0
+    lnoise: int = 8
+
+    # --- model / loss selection (reference config.py:63-78) ---
+    model: str = "default"
+    tv_weight: float = 0.01
+    L2_weight: float = 0.02
+    F_checkpoints: str = "./defenses/frequency_based/checkpoints"
+    F_model: str = "original"
+    F_dropout: float = 0.5
+    F_num_ensemble: int = 3
+    model_clean: str = "default"
+    clean_model_weight: float = 0.8
+    noise_only: bool = False
+    post_transform_option: str = "use"  # use | no_use | use_modified
+    scale_noise_rate: float = 1.0
+    cross_weight: float = 0.2
+
+    # --- misc (reference config.py:80-84) ---
+    debug: bool = False
+    r: float = 0.25
+    scale_factor: float = 0.5
+    scale_mode: str = "bicubic"
+
+    # --- TPU-native additions (no reference equivalent) ---
+    seed: int = 0
+    dp_axis: str = "data"  # mesh axis name for data parallelism
+    n_devices: int = 0  # 0 = all visible devices
+    compute_dtype: str = "float32"  # bfloat16 for max MXU throughput
+    drop_remainder: bool = True  # fixed-shape epochs for XLA (see data/pipeline.py)
+    log_every: int = 1
+    image_every: int = 20
+    synthetic_data: bool = False  # deterministic synthetic dataset (no-network envs)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# Per-dataset geometry overrides (reference train_generator.py:470-487,
+# train_clean_classifier.py and every other entry point repeat this block).
+_DATASET_PRESETS = {
+    "cifar10": dict(input_height=32, input_width=32, input_channel=3, num_classes=10),
+    "celeba": dict(input_height=64, input_width=64, input_channel=3, num_classes=8, num_workers=40),
+    "imagenet10": dict(input_height=224, input_width=224, input_channel=3, num_classes=10, bs=32),
+    "mnist": dict(input_height=28, input_width=28, input_channel=1, num_classes=10),
+    "gtsrb": dict(input_height=32, input_width=32, input_channel=3, num_classes=43),
+}
+
+
+def apply_dataset_preset(cfg: Config) -> Config:
+    preset = _DATASET_PRESETS.get(cfg.dataset)
+    if preset is None:
+        raise ValueError(f"Invalid dataset: {cfg.dataset!r}")
+    return cfg.replace(**preset)
+
+
+def _int_list(text) -> Tuple[int, ...]:
+    if isinstance(text, (list, tuple)):
+        return tuple(int(x) for x in text)
+    return tuple(int(t) for t in str(text).split(",") if t.strip())
+
+
+def _float_pair(text) -> Tuple[float, float]:
+    if isinstance(text, (list, tuple)):
+        lo, hi = text
+        return (float(lo), float(hi))
+    parts = [float(t) for t in str(text).split(",")]
+    if len(parts) == 1:
+        return (parts[0], parts[0])
+    return (parts[0], parts[1])
+
+
+def build_parser(defaults: Optional[Config] = None) -> argparse.ArgumentParser:
+    """CLI with the same flag surface as reference ``config.py:4-86``."""
+    d = defaults or Config()
+    p = argparse.ArgumentParser()
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        default = getattr(d, f.name)
+        if f.type in ("bool", bool) or isinstance(default, bool):
+            p.add_argument(name, action="store_true", default=default)
+        elif f.name in ("schedulerC_milestones", "schedulerG_milestones", "scheduler_clean_milestones"):
+            p.add_argument(name, type=_int_list, default=default)
+        elif f.name == "sigma":
+            p.add_argument(name, type=_float_pair, default=default)
+        elif isinstance(default, int):
+            p.add_argument(name, type=int, default=default)
+        elif isinstance(default, float):
+            p.add_argument(name, type=float, default=default)
+        else:
+            p.add_argument(name, type=str, default=default)
+    return p
+
+
+def from_args(argv: Optional[Sequence[str]] = None, defaults: Optional[Config] = None) -> Config:
+    ns = build_parser(defaults).parse_args(argv)
+    cfg = Config(**vars(ns))
+    return apply_dataset_preset(cfg)

@@ -1,0 +1,102 @@
+"""Batched, PRNG-keyed train-time augmentations (NHWC, on-device).
+
+TPU-native replacement for the reference's ``PostTensorTransform`` (kornia
+``RandomCrop(p=0.8, padding=5)`` / ``RandomRotation(10, p=0.5)`` /
+``RandomHorizontalFlip(p=0.5)`` applied per batch inside the train loop —
+reference ``utils/dataloader.py:45-60``, used at ``train_generator.py:196``).
+
+Semantics preserved:
+  * the p=0.8 / p=0.5 gates are *per batch* (the reference's ``ProbTransform``
+    flips one ``random.random()`` coin for the whole batch,
+    ``utils/dataloader.py:11-21``); crop offsets / rotation angles are then
+    sampled *per image* (kornia ``same_on_batch=False``);
+  * horizontal flip is per image;
+  * crop pads with constant 0 ([-1,1] images → mid-gray), rotation fills
+    zeros outside and interpolates bilinearly about the pixel-grid center.
+
+Everything is a pure function of a PRNG key so the whole augmentation stack
+lives inside the jitted train step — there is no host round-trip per batch,
+unlike the reference which syncs on ``random.random()`` every call.  Batch
+gates use ``jnp.where`` on both branches rather than ``lax.cond``: the aug
+math is negligible next to the model convs and keeping it branch-free lets
+XLA fuse the step into one program.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .image import grid_sample
+
+
+def random_crop_with_padding(key: jax.Array, x: jnp.ndarray, padding: int) -> jnp.ndarray:
+    """Per-image random crop after constant-0 padding (kornia RandomCrop)."""
+    n, h, w, c = x.shape
+    padded = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    kt, kl = jax.random.split(key)
+    tops = jax.random.randint(kt, (n,), 0, 2 * padding + 1)
+    lefts = jax.random.randint(kl, (n,), 0, 2 * padding + 1)
+
+    def crop_one(img, t, l):
+        return jax.lax.dynamic_slice(img, (t, l, 0), (h, w, c))
+
+    return jax.vmap(crop_one)(padded, tops, lefts)
+
+
+def random_rotation(key: jax.Array, x: jnp.ndarray, max_degrees: float) -> jnp.ndarray:
+    """Per-image rotation by U(-max_degrees, max_degrees), bilinear, zero fill.
+
+    Rotation is about the pixel-grid center ((W-1)/2, (H-1)/2) with
+    align_corners=True sampling, matching kornia's ``RandomRotation``
+    (``warp_affine`` with ``align_corners=True``).
+    """
+    n, h, w, _ = x.shape
+    angles = jax.random.uniform(key, (n,), minval=-max_degrees, maxval=max_degrees)
+    theta = jnp.deg2rad(angles)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # Normalized [-1, 1] grid (align_corners=True ⇔ endpoints at pixel centers).
+    ys = jnp.linspace(-1.0, 1.0, h)
+    xs = jnp.linspace(-1.0, 1.0, w)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    # Inverse rotation applied to output coords. Aspect is square in all
+    # supported datasets; normalized coords rotate directly.
+    sx = cos[:, None, None] * gx + sin[:, None, None] * gy
+    sy = -sin[:, None, None] * gx + cos[:, None, None] * gy
+    grid = jnp.stack([sx, sy], axis=-1)
+    return grid_sample(x, grid.astype(x.dtype), align_corners=True)
+
+
+def random_hflip(key: jax.Array, x: jnp.ndarray, p: float = 0.5) -> jnp.ndarray:
+    coins = jax.random.bernoulli(key, p, (x.shape[0],))
+    return jnp.where(coins[:, None, None, None], x[:, :, ::-1, :], x)
+
+
+def post_tensor_transform(
+    key: jax.Array,
+    x: jnp.ndarray,
+    *,
+    crop_padding: int = 5,
+    rotation_degrees: float = 10.0,
+    hflip: bool = True,
+    option: str = "use",
+) -> jnp.ndarray:
+    """The full train-time augmentation stack (reference PostTensorTransform).
+
+    ``option`` mirrors ``--post_transform_option``: "use" (crop+rot+flip),
+    "use_modified" (no crop), "no_use" (identity) — reference
+    ``utils/dataloader.py:48-55`` / ``config.py:75``.
+    """
+    if option == "no_use":
+        return x
+    k_cgate, k_crop, k_rgate, k_rot, k_flip = jax.random.split(key, 5)
+    if option != "use_modified":
+        crop_gate = jax.random.bernoulli(k_cgate, 0.8)
+        x = jnp.where(crop_gate, random_crop_with_padding(k_crop, x, crop_padding), x)
+    rot_gate = jax.random.bernoulli(k_rgate, 0.5)
+    x = jnp.where(rot_gate, random_rotation(k_rot, x, rotation_degrees), x)
+    if hflip:
+        x = random_hflip(k_flip, x)
+    return x
