@@ -1,0 +1,88 @@
+"""SimpleViT in Flax (NHWC).
+
+Re-implementation of the ``vit_pytorch.SimpleViT`` architecture used via the
+reference's ViT adapter (reference ``train_generator.py:21-31``:
+``vit`` = patch4/dim768/depth6/heads8/mlp1024, ``simplevitsmall8`` =
+patch8/dim384/depth12/heads6/mlp1536) and the timm ``vit_small`` adapter
+(reference ``eval.py:24-47``).  SimpleViT = patch embed (LN-Linear-LN),
+fixed 2-D sin-cos position embedding, pre-norm transformer (no dropout,
+no CLS token), mean pool, linear head.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+
+def posemb_sincos_2d(h: int, w: int, dim: int, temperature: float = 10000.0) -> np.ndarray:
+    y, x = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    assert dim % 4 == 0, "feature dim must be a multiple of 4 for 2d sin-cos posemb"
+    omega = np.arange(dim // 4) / (dim // 4 - 1)
+    omega = 1.0 / (temperature**omega)
+    y = y.flatten()[:, None] * omega[None, :]
+    x = x.flatten()[:, None] * omega[None, :]
+    return np.concatenate([np.sin(x), np.cos(x), np.sin(y), np.cos(y)], axis=1).astype(np.float32)
+
+
+class Attention(nn.Module):
+    heads: int
+    dim_head: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = self.heads * self.dim_head
+        x = nn.LayerNorm(name="norm")(x)
+        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_split(t):
+            return t.reshape(t.shape[0], t.shape[1], self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = map(heads_split, (q, k, v))
+        attn = nn.softmax(jnp.einsum("bhid,bhjd->bhij", q, k) * (self.dim_head**-0.5), axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], inner)
+        return nn.Dense(dim, use_bias=False, name="to_out")(out)
+
+
+class FeedForward(nn.Module):
+    mlp_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        x = nn.LayerNorm(name="norm")(x)
+        x = nn.gelu(nn.Dense(self.mlp_dim, name="fc1")(x))
+        return nn.Dense(dim, name="fc2")(x)
+
+
+class SimpleViT(nn.Module):
+    image_size: int = 32
+    patch_size: int = 4
+    num_classes: int = 10
+    dim: int = 768
+    depth: int = 6
+    heads: int = 8
+    mlp_dim: int = 1024
+    dim_head: int = 64
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.patch_size
+        n, h, w, c = x.shape
+        gh, gw = h // p, w // p
+        # b (gh p) (gw p) c -> b (gh gw) (p p c)
+        x = x.reshape(n, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5).reshape(n, gh * gw, p * p * c)
+        x = nn.LayerNorm(name="patch_norm1")(x)
+        x = nn.Dense(self.dim, name="patch_embed")(x)
+        x = nn.LayerNorm(name="patch_norm2")(x)
+        x = x + jnp.asarray(posemb_sincos_2d(gh, gw, self.dim))[None]
+        for i in range(self.depth):
+            x = x + Attention(self.heads, self.dim_head, name=f"attn{i}")(x)
+            x = x + FeedForward(self.mlp_dim, name=f"ff{i}")(x)
+        x = nn.LayerNorm(name="final_norm")(x)
+        x = x.mean(axis=1)
+        return nn.Dense(self.num_classes, name="head")(x)
