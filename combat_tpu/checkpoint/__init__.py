@@ -1,0 +1,3 @@
+from .ckpt import best_gate_attack, best_gate_clean, ckpt_paths, load_checkpoint, save_checkpoint
+
+__all__ = ["save_checkpoint", "load_checkpoint", "ckpt_paths", "best_gate_clean", "best_gate_attack"]

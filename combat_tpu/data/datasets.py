@@ -1,0 +1,125 @@
+"""Dataset registry with full on-device residency.
+
+TPU-first redesign of the reference's DataLoader-worker pipeline (reference
+``utils/dataloader.py:98-123``, 6–40 worker processes): the supported image
+datasets are small enough that the *entire* split lives in HBM (CIFAR-10
+train = 50k x 32 x 32 x 3 fp32 ≈ 590 MB; uint8 ≈ 147 MB), so per-step
+minibatching is a device-side gather and there is no host↔device transfer
+after startup — the layer the reference spends worker processes on simply
+does not exist here.
+
+Sources, in priority order:
+  * torchvision-layout pickle batches on disk (``cifar-10-batches-py``),
+  * a generic ``<root>/<name>_{train,test}.npz`` with ``images`` (N,H,W,C
+    uint8) + ``labels``,
+  * a deterministic synthetic dataset (class-template + noise, learnable)
+    for network-less environments, behind ``--synthetic_data``.
+
+Images are float32 in [-1, 1] — the reference normalizes with
+mean=std=0.5 (``utils/dataloader.py:36-39``), i.e. ``x*2-1`` on [0,1].
+CelebA attribute relabeling (3 bits → 8 classes, attributes [18, 31, 21])
+follows reference ``utils/dataloader.py:63-80``.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+from ..config import Config
+
+
+class ArrayDataset(NamedTuple):
+    images: np.ndarray  # (N, H, W, C) float32 in [-1, 1]
+    labels: np.ndarray  # (N,) int32
+
+    def __len__(self):
+        return self.images.shape[0]
+
+
+def _normalize(u8: np.ndarray) -> np.ndarray:
+    return (u8.astype(np.float32) / 255.0) * 2.0 - 1.0
+
+
+def _load_cifar10_torchvision(root: str, train: bool) -> Optional[ArrayDataset]:
+    base = os.path.join(root, "cifar-10-batches-py")
+    if not os.path.isdir(base):
+        return None
+    files = [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+    images, labels = [], []
+    for fn in files:
+        with open(os.path.join(base, fn), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        images.append(d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+        labels.extend(d[b"labels"])
+    return ArrayDataset(_normalize(np.concatenate(images)), np.asarray(labels, np.int32))
+
+
+def _load_npz(root: str, name: str, train: bool) -> Optional[ArrayDataset]:
+    path = os.path.join(root, f"{name}_{'train' if train else 'test'}.npz")
+    if not os.path.exists(path):
+        return None
+    d = np.load(path)
+    images = d["images"]
+    if images.dtype == np.uint8:
+        images = _normalize(images)
+    labels = d["labels"].astype(np.int32)
+    if name == "celeba" and labels.ndim == 2:
+        # raw 40-attr matrix → 8-class target from attrs [18, 31, 21]
+        a = labels[:, [18, 31, 21]].astype(np.int32)
+        labels = (a[:, 0] << 2) + (a[:, 1] << 1) + a[:, 2]
+    return ArrayDataset(images.astype(np.float32), labels)
+
+
+def synthetic_dataset(cfg: Config, train: bool, n: Optional[int] = None) -> ArrayDataset:
+    """Deterministic, learnable stand-in: per-class low-frequency template +
+    pixel noise. Classifiers reach high accuracy in a few epochs, so attack
+    dynamics (clean acc up, ASR up) are exercised end-to-end without real
+    data. Seeded independently of the model/poison PRNG chain."""
+    if n is None:
+        n = 10000 if train else 2000
+    h, w, c, k = cfg.input_height, cfg.input_width, cfg.input_channel, cfg.num_classes
+    rng = np.random.RandomState(12345 if train else 54321)
+    templates = np.random.RandomState(999).randn(k, h, w, c).astype(np.float32)
+    # smooth the templates so they look image-like (box filter x2)
+    for _ in range(2):
+        templates = (
+            templates
+            + np.roll(templates, 1, axis=1)
+            + np.roll(templates, -1, axis=1)
+            + np.roll(templates, 1, axis=2)
+            + np.roll(templates, -1, axis=2)
+        ) / 5.0
+    templates /= np.abs(templates).max(axis=(1, 2, 3), keepdims=True) + 1e-8
+    labels = rng.randint(0, k, size=(n,)).astype(np.int32)
+    noise = rng.randn(n, h, w, c).astype(np.float32) * 0.35
+    images = np.clip(templates[labels] * 0.8 + noise, -1.0, 1.0)
+    return ArrayDataset(images.astype(np.float32), labels)
+
+
+def get_dataset(cfg: Config, train: bool, target_label: Optional[int] = None) -> ArrayDataset:
+    """Load a split as host numpy; mirrors ``get_dataloader``'s dataset
+    selection incl. the ``target_label`` filter and the ``--debug`` 1000-row
+    subset (reference ``utils/dataloader.py:98-123``)."""
+    ds = None
+    if not cfg.synthetic_data:
+        if cfg.dataset == "cifar10":
+            ds = _load_cifar10_torchvision(cfg.data_root, train)
+        if ds is None:
+            ds = _load_npz(cfg.data_root, cfg.dataset, train)
+    if ds is None:
+        if not cfg.synthetic_data:
+            raise FileNotFoundError(
+                f"no on-disk data for {cfg.dataset!r} under {cfg.data_root!r}; "
+                "pass --synthetic_data for the deterministic synthetic fallback"
+            )
+        ds = synthetic_dataset(cfg, train)
+    if target_label is not None:
+        sel = ds.labels == target_label
+        ds = ArrayDataset(ds.images[sel], ds.labels[sel])
+    if cfg.debug:
+        ds = ArrayDataset(ds.images[:1000], ds.labels[:1000])
+    return ds

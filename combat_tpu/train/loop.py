@@ -1,0 +1,126 @@
+"""Epoch runners: one ``lax.scan`` per epoch, compiled once.
+
+TPU-first design: the whole dataset is device-resident (data/datasets.py), so
+an epoch is a jitted scan over permuted index batches — zero host↔device
+traffic and zero host sync until the final metric read-back (one transfer per
+epoch, vs the reference's per-batch ``progress_bar`` scalar syncs at
+``utils/utils.py:55-94``).  Under a multi-device mesh the batch axis of the
+index matrix is sharded, which shards every activation downstream; params are
+replicated and GSPMD inserts the gradient ``psum`` over ICI (train/mesh.py).
+
+Remainder policy: epochs use ``drop_remainder`` (fixed shapes for XLA); the
+reference trains on the ragged tail batch too (DataLoader drop_last=False) —
+a documented, statistically immaterial divergence (shuffling re-draws the
+dropped rows every epoch).  Eval pads to a full batch with a validity mask,
+so eval metrics are exact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def epoch_permutation(key: jax.Array, n: int, bs: int) -> jnp.ndarray:
+    steps = n // bs
+    return jax.random.permutation(key, n)[: steps * bs].reshape(steps, bs)
+
+
+def padded_eval_batches(n: int, bs: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Static index + validity-mask matrices covering all n rows."""
+    steps = (n + bs - 1) // bs
+    idx = np.arange(steps * bs)
+    valid = idx < n
+    return idx.clip(max=n - 1).reshape(steps, bs), valid.reshape(steps, bs)
+
+
+@partial(jax.jit, static_argnames=("step_fn", "bs"))
+def train_epoch_alternated(
+    step_fn: Callable,
+    stateC,
+    stateG,
+    clean_model,
+    netF,
+    images: jnp.ndarray,
+    labels: jnp.ndarray,
+    key: jax.Array,
+    bs: int,
+):
+    """One alternated-training epoch (reference train_generator.py train())."""
+    kperm, kstep = jax.random.split(key)
+    perm = epoch_permutation(kperm, images.shape[0], bs)
+
+    def body(carry, idx):
+        stateC, stateG = carry
+        sub = jax.random.fold_in(kstep, stateC.step)
+        batch = (images[idx], labels[idx])
+        stateC, stateG, m = step_fn(stateC, stateG, clean_model, netF, batch, sub)
+        return (stateC, stateG), m
+
+    (stateC, stateG), ms = jax.lax.scan(body, (stateC, stateG), perm)
+    return stateC, stateG, jax.tree.map(lambda a: a.sum(0), ms)
+
+
+@partial(jax.jit, static_argnames=("step_fn", "bs", "has_poison"))
+def train_epoch_classifier(
+    step_fn: Callable,
+    stateC,
+    paramsG: Any,
+    images: jnp.ndarray,
+    labels: jnp.ndarray,
+    poisoned: Optional[jnp.ndarray],
+    key: jax.Array,
+    bs: int,
+    has_poison: bool = False,
+):
+    """One classifier-only epoch: clean training (paramsG/poisoned unused) or
+    victim training on the fixed poisoned subset."""
+    kperm, kstep = jax.random.split(key)
+    perm = epoch_permutation(kperm, images.shape[0], bs)
+
+    def body(stateC, idx):
+        sub = jax.random.fold_in(kstep, stateC.step)
+        if has_poison:
+            batch = (images[idx], labels[idx], poisoned[idx])
+            stateC, m = step_fn(stateC, paramsG, batch, sub)
+        else:
+            stateC, m = step_fn(stateC, (images[idx], labels[idx]), sub)
+        return stateC, m
+
+    stateC, ms = jax.lax.scan(body, stateC, perm)
+    return stateC, jax.tree.map(lambda a: a.sum(0), ms)
+
+
+@partial(jax.jit, static_argnames=("step_fn", "bs", "with_key"))
+def eval_epoch(
+    step_fn: Callable,
+    step_args: Tuple,
+    images: jnp.ndarray,
+    labels: jnp.ndarray,
+    idx: jnp.ndarray,
+    valid: jnp.ndarray,
+    key: jax.Array,
+    bs: int,
+    with_key: bool = True,
+):
+    """Scan an eval step over padded fixed-shape batches; exact masked sums."""
+
+    def body(i, pair):
+        ix, vd = pair
+        batch = (images[ix], labels[ix], vd)
+        if with_key:
+            m = step_fn(*step_args, batch, jax.random.fold_in(key, i))
+        else:
+            m = step_fn(*step_args, batch)
+        return i + 1, m
+
+    _, ms = jax.lax.scan(body, 0, (idx, valid))
+    return jax.tree.map(lambda a: a.sum(0), ms)
+
+
+def metrics_to_host(metrics: Dict[str, jnp.ndarray]) -> Dict[str, float]:
+    return {k: float(v) for k, v in jax.device_get(metrics).items()}

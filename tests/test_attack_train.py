@@ -1,0 +1,167 @@
+"""Attack semantics + fused train-step tests (SURVEY.md §4 rebuild plan):
+target mapping, deterministic poison selection, gradient isolation between
+the C-step and G-step, BN-stats threading, LR schedule parity, checkpoint
+round-trip.  Tiny stand-in models keep compiles fast; the step logic is
+model-agnostic."""
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from combat_tpu.attack import create_targets_bd
+from combat_tpu.config import Config, apply_dataset_preset
+from combat_tpu.data import poison_flags
+from combat_tpu.train import (
+    init_frozen,
+    init_train_state,
+    make_alternated_train_step,
+    make_victim_train_step,
+    multistep_lr,
+    sgd_torch,
+    train_epoch_alternated,
+)
+
+
+class TinyClassifier(nn.Module):
+    num_classes: int = 10
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(8, (3, 3), strides=(2, 2), padding=1)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.relu(x)
+        x = x.mean(axis=(1, 2))
+        return nn.Dense(self.num_classes)(x)
+
+
+class TinyGenerator(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return jnp.tanh(nn.Conv(3, (3, 3), padding=1)(x))
+
+
+def make_cfg(**kw):
+    base = apply_dataset_preset(Config(dataset="cifar10", synthetic_data=True))
+    return base.replace(**kw)
+
+
+def test_create_targets_bd():
+    y = jnp.array([0, 1, 9])
+    np.testing.assert_array_equal(np.asarray(create_targets_bd(y, "all2one", 0, 10)), [0, 0, 0])
+    np.testing.assert_array_equal(np.asarray(create_targets_bd(y, "all2all", 0, 10)), [1, 2, 0])
+
+
+def test_poison_flags_deterministic_and_sized():
+    labels = np.array([0, 0, 0, 0, 1, 1, 2, 0])
+    f1 = poison_flags(labels, 0.5, target_label=0, seed=7)
+    f2 = poison_flags(labels, 0.5, target_label=0, seed=7)
+    np.testing.assert_array_equal(f1, f2)
+    assert f1.sum() == int(0.5 * 5)  # 5 target-class rows -> 2 poisoned
+    assert not f1[~(labels == 0)].any()  # only target-class rows poisoned
+    f3 = poison_flags(labels, 0.5, target_label=0, seed=8)
+    assert f1.sum() == f3.sum()
+    # all2all poisons across all classes
+    fa = poison_flags(labels, 0.5, target_label=0, attack_mode="all2all", seed=7)
+    assert fa.sum() == 4
+
+
+def _setup_states(cfg, key=0):
+    C, G = TinyClassifier(cfg.num_classes), TinyGenerator()
+    x0 = jnp.zeros((1, 32, 32, 3))
+    tx = sgd_torch(multistep_lr(0.01, (100,), 0.1, 10))
+    sC = init_train_state(C, jax.random.key(key), x0, tx)
+    sG = init_train_state(G, jax.random.key(key + 1), x0, tx)
+    cm = init_frozen(C, jax.random.key(key + 2), x0)
+    nf = init_frozen(TinyClassifier(2), jax.random.key(key + 3), x0)
+    return C, G, sC, sG, cm, nf
+
+
+def test_alternated_step_updates_both_and_isolates_grads():
+    cfg = make_cfg(bs=8)
+    C, G, sC, sG, cm, nf = _setup_states(cfg)
+    step = jax.jit(make_alternated_train_step(cfg, C, G))
+    x = jax.random.uniform(jax.random.key(5), (8, 32, 32, 3), minval=-1, maxval=1)
+    y = jax.random.randint(jax.random.key(6), (8,), 0, 10)
+    sC2, sG2, m = step(sC, sG, cm, nf, (x, y), jax.random.key(7))
+    # both nets stepped once
+    assert int(sC2.step) == 1 and int(sG2.step) == 1
+    # params actually changed
+    assert not np.allclose(np.asarray(jax.tree.leaves(sC.params)[0]), np.asarray(jax.tree.leaves(sC2.params)[0]))
+    assert not np.allclose(np.asarray(jax.tree.leaves(sG.params)[0]), np.asarray(jax.tree.leaves(sG2.params)[0]))
+    # frozen nets untouched (pytree identity of values)
+    for a, b in zip(jax.tree.leaves(cm.params), jax.tree.leaves(cm.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # BN stats updated by the C-step only (G-step runs C in eval mode)
+    assert not np.allclose(
+        np.asarray(jax.tree.leaves(sC.batch_stats)[0]), np.asarray(jax.tree.leaves(sC2.batch_stats)[0])
+    )
+    # metrics present and consistent
+    assert float(m["sample"]) == 8.0
+    assert 0.0 <= float(m["clean_correct"]) <= 8.0
+
+
+def test_alternated_epoch_loss_decreases():
+    cfg = make_cfg(bs=8, pc=0.5)
+    C, G, sC, sG, cm, nf = _setup_states(cfg)
+    step = make_alternated_train_step(cfg, C, G)
+    from combat_tpu.data import synthetic_dataset
+
+    ds = synthetic_dataset(cfg, True, n=64)
+    imgs, labs = jnp.asarray(ds.images), jnp.asarray(ds.labels)
+    losses = []
+    for e in range(4):
+        sC, sG, m = train_epoch_alternated(step, sC, sG, cm, nf, imgs, labs, jax.random.key(e), 8)
+        losses.append(float(m["loss_ce"]) / 8.0)
+    assert losses[-1] < losses[0], losses
+
+
+def test_victim_step_uses_mask_not_dropping_rows():
+    """The fixed version of reference train_victim.py:121: all rows train;
+    poisoned rows get (trigger, bd_target), others (clean, y)."""
+    cfg = make_cfg(bs=8, attack_mode="all2all")  # all2all makes bd labels != y
+    C, G, sC, sG, cm, nf = _setup_states(cfg)
+    step = jax.jit(make_victim_train_step(cfg, C, G))
+    x = jax.random.uniform(jax.random.key(1), (8, 32, 32, 3), minval=-1, maxval=1)
+    y = jnp.zeros((8,), jnp.int32)
+    poisoned = jnp.array([True, False] * 4)
+    sC2, m = step(sC, sG.params, (x, y, poisoned), jax.random.key(2))
+    assert float(m["sample"]) == 8.0  # every row contributes
+    assert int(sC2.step) == 1
+
+
+def test_multistep_lr_matches_torch_semantics():
+    sched = multistep_lr(1e-2, (100, 150), 0.1, steps_per_epoch=10)
+    assert np.isclose(float(sched(0)), 1e-2)
+    assert np.isclose(float(sched(999)), 1e-2)  # epoch 99
+    assert np.isclose(float(sched(1000)), 1e-3)  # epoch 100 crossed
+    assert np.isclose(float(sched(1500)), 1e-4)  # epoch 150 crossed
+    assert np.isclose(float(sched(1999)), 1e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from combat_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    payload = {
+        "netC": {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}},
+        "best_clean_acc": 93.4,
+        "epoch_current": 7,
+    }
+    path = str(tmp_path / "ck.ckpt")
+    save_checkpoint(path, payload)
+    out = load_checkpoint(path)
+    np.testing.assert_array_equal(out["netC"]["params"]["w"], payload["netC"]["params"]["w"])
+    assert float(out["best_clean_acc"]) == 93.4 and int(out["epoch_current"]) == 7
+    # overwrite with new best (the save gate re-saves to the same path)
+    payload["best_clean_acc"] = 95.0
+    save_checkpoint(path, payload)
+    assert float(load_checkpoint(path)["best_clean_acc"]) == 95.0
+
+
+def test_best_gates():
+    from combat_tpu.checkpoint import best_gate_attack, best_gate_clean
+
+    assert best_gate_clean(90.0, 89.0) and not best_gate_clean(89.0, 89.0)
+    assert best_gate_attack(90.0, 10.0, 89.0, 99.0)  # higher clean wins
+    assert best_gate_attack(89.0, 99.5, 89.0, 99.0)  # tie on clean, higher bd
+    assert not best_gate_attack(89.0, 98.0, 89.0, 99.0)

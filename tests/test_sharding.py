@@ -1,0 +1,30 @@
+"""Data-parallel sharding test on a virtual 8-device CPU mesh.
+
+Runs in a subprocess because this build container force-registers a TPU
+plugin that overrides JAX_PLATFORMS (see tests/conftest.py); the subprocess
+calls ``jax.config.update('jax_platforms', 'cpu')`` explicitly, which works
+everywhere."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_8cpu():
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip()
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "__graft_entry__.py"), "multichip", "8"],
+        capture_output=True,
+        text=True,
+        timeout=560,
+        cwd=REPO,
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip OK" in out.stdout, out.stdout
