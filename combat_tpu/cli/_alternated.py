@@ -1,0 +1,233 @@
+"""Shared harness for all alternated-training entry points (base generator,
+WaNet, input-aware, imperceptible, multilabel generator, and the multilabel
+victim which *continues* alternated training — reference
+``train_victim_multilabel.py`` has the same structure as its generator
+script).  Each reference script duplicates this ~150-line main; here it is
+one parameterized run loop (SURVEY.md §2.1 notes the massive duplication —
+not replicated)."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..checkpoint import best_gate_attack, load_checkpoint, save_checkpoint
+from ..config import Config
+from ..models import get_classifier, get_frequency_detector, get_generator
+from ..train import (
+    eval_epoch,
+    init_frozen,
+    init_train_state,
+    metrics_to_host,
+    multistep_lr,
+    padded_eval_batches,
+    sgd_torch,
+    train_epoch_alternated,
+)
+from ..train.loop import train_epoch_alternated_pair
+from ..utils import MetricsLogger, Timer
+from .common import build_mesh, device_dataset, fmt_pct, ref_ckpt_path, setup_run_dirs, steps_per_epoch
+
+BASE_BEST_KEYS = (
+    "best_clean_acc",
+    "best_bd_acc",
+    "best_F_acc",
+    "best_clean_model_acc",
+    "best_clean_model_bd_ba",
+    "best_clean_model_bd_asr",
+)
+
+
+@dataclass
+class AlternatedSpec:
+    name: str
+    generator_kind: str
+    make_train_step: Callable
+    make_eval_step: Callable
+    pair: bool = False  # second shuffled stream (input-aware)
+    conditional: bool = False  # G takes (x, y) (multilabel)
+    g_lr_from_c: bool = False  # lr_G = lr_C*0.1 with C milestones (input-aware)
+    track_cross: bool = False  # cross-accuracy metric (input-aware)
+    load_g: bool = False  # load netG from --load_checkpoint (multilabel victim)
+    extra_ckpt: Optional[Callable[[Config, jax.Array], Dict]] = None
+
+
+def run_alternated(cfg: Config, spec: AlternatedSpec):
+    mesh = build_mesh(cfg)
+    imgs, labs, _ = device_dataset(cfg, mesh, True)
+    timgs, tlabs, tds = device_dataset(cfg, mesh, False)
+    spe = steps_per_epoch(imgs.shape[0], cfg.bs)
+
+    C = get_classifier(cfg)
+    G = get_generator(cfg, spec.generator_kind)
+    F = get_frequency_detector(cfg)
+    key = jax.random.key(cfg.seed)
+    kC, kG, kF, kCM, k_run = jax.random.split(key, 5)
+    sample = jnp.zeros((1, cfg.input_height, cfg.input_width, cfg.input_channel))
+
+    txC = sgd_torch(multistep_lr(cfg.lr_C, cfg.schedulerC_milestones, cfg.schedulerC_lambda, spe))
+    if spec.g_lr_from_c:
+        # reference train_generator_inputaware.py:120-127
+        txG = sgd_torch(multistep_lr(cfg.lr_C * 0.1, cfg.schedulerC_milestones, cfg.schedulerC_lambda, spe))
+    else:
+        txG = sgd_torch(multistep_lr(cfg.lr_G, cfg.schedulerG_milestones, cfg.schedulerG_lambda, spe))
+    g_extra = (jnp.zeros((1,), jnp.int32),) if spec.conditional else ()
+    stateC = init_train_state(C, kC, sample, txC)
+    stateG = init_train_state(G, kG, sample, txG, extra_args=g_extra)
+    netF = init_frozen(F, kF, sample)
+    clean_model = init_frozen(C, kCM, sample)
+
+    mode = cfg.saving_prefix or spec.name
+    ckpt_folder = os.path.join(cfg.checkpoints, f"{mode}_clean", cfg.dataset)
+    ckpt_path = os.path.join(ckpt_folder, f"{cfg.dataset}_{mode}_clean.ckpt")
+
+    # frozen frequency detector (reference train_generator.py:503-512)
+    f_ckpt = os.path.join(cfg.F_checkpoints, cfg.dataset, cfg.F_model, f"{cfg.dataset}_{cfg.F_model}_detector.ckpt")
+    print(f"Loading {cfg.F_model} at {f_ckpt}")
+    if os.path.exists(f_ckpt):
+        payload = load_checkpoint(f_ckpt)
+        netF = netF.replace(
+            params=jax.tree.map(jnp.asarray, payload["netC"]["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, payload["netC"]["batch_stats"]),
+        )
+        print("Done")
+    else:
+        print(f"WARNING: frequency-detector checkpoint not found at {f_ckpt}; "
+              "F Acc metrics will be meaningless (train one with combat_tpu.defenses.frequency).")
+
+    # frozen clean model (reference train_generator.py:514-527)
+    if not cfg.load_checkpoint_clean:
+        raise SystemExit("--load_checkpoint_clean is required (clean-classifier run prefix)")
+    clean_path = ref_ckpt_path(cfg.checkpoints, cfg.load_checkpoint_clean, cfg.dataset)
+    if not os.path.exists(clean_path):
+        raise SystemExit(f"Error: {clean_path} not found")
+    payload = load_checkpoint(clean_path)
+    clean_model = clean_model.replace(
+        params=jax.tree.map(jnp.asarray, payload["netC"]["params"]),
+        batch_stats=jax.tree.map(jnp.asarray, payload["netC"]["batch_stats"]),
+    )
+
+    # warm-start G (multilabel victim continues alternated training:
+    # reference train_victim_multilabel.py:495-520 loads the generator ckpt)
+    if spec.load_g:
+        if not cfg.load_checkpoint:
+            raise SystemExit("--load_checkpoint is required (generator run name)")
+        g_path = ref_ckpt_path(cfg.checkpoints, cfg.load_checkpoint, cfg.dataset)
+        if not os.path.exists(g_path):
+            raise SystemExit(f"Error: {g_path} not found")
+        payload = load_checkpoint(g_path)
+        stateG = stateG.replace(params=jax.tree.map(jnp.asarray, payload["netG"]["params"]))
+
+    best_keys = BASE_BEST_KEYS + (("best_cross_acc",) if spec.track_cross else ())
+    best = {k: 0.0 for k in best_keys}
+    epoch_current = 0
+    extra = spec.extra_ckpt(cfg, key) if spec.extra_ckpt else {}
+
+    def payload_of(epoch):
+        return {
+            "netC": {"params": stateC.params, "batch_stats": stateC.batch_stats},
+            "schedulerC": {"step": stateC.step},
+            "optimizerC": stateC.opt_state,
+            "netG": {"params": stateG.params},
+            "schedulerG": {"step": stateG.step},
+            "optimizerG": stateG.opt_state,
+            "clean_model": {"params": clean_model.params, "batch_stats": clean_model.batch_stats},
+            **best,
+            **extra,
+            "epoch_current": epoch,
+        }
+
+    if cfg.continue_training:
+        if not os.path.exists(ckpt_path):
+            raise SystemExit("Pretrained model doesnt exist")
+        print("Continue training!!")
+        payload = load_checkpoint(ckpt_path, payload_of(0))
+        stateC = stateC.replace(
+            params=payload["netC"]["params"], batch_stats=payload["netC"]["batch_stats"],
+            opt_state=payload["optimizerC"], step=jnp.asarray(payload["schedulerC"]["step"]),
+        )
+        stateG = stateG.replace(
+            params=payload["netG"]["params"], opt_state=payload["optimizerG"],
+            step=jnp.asarray(payload["schedulerG"]["step"]),
+        )
+        clean_model = clean_model.replace(
+            params=payload["clean_model"]["params"], batch_stats=payload["clean_model"]["batch_stats"]
+        )
+        best = {k: float(payload[k]) for k in best_keys}
+        epoch_current = int(payload["epoch_current"]) + 1
+        log_dir = setup_run_dirs(cfg, ckpt_folder, fresh=False)
+    else:
+        print("Train from scratch!!!")
+        log_dir = setup_run_dirs(cfg, ckpt_folder, fresh=True)
+
+    logger = MetricsLogger(log_dir)
+    train_step = spec.make_train_step(cfg, C, G)
+    eval_step = spec.make_eval_step(cfg, C, G)
+    eidx, evalid = padded_eval_batches(len(tds), cfg.bs)
+    eidx, evalid = jnp.asarray(eidx), jnp.asarray(evalid)
+    epoch_runner = train_epoch_alternated_pair if spec.pair else train_epoch_alternated
+
+    with mesh:
+        for epoch in range(epoch_current, cfg.n_iters):
+            with Timer() as t:
+                stateC, stateG, m = epoch_runner(
+                    train_step, stateC, stateG, clean_model, netF, imgs, labs,
+                    jax.random.fold_in(k_run, epoch), cfg.bs,
+                )
+                m = metrics_to_host(m)
+            n = m["sample"]
+            ips = n / t.seconds
+            line = (
+                f"Epoch {epoch + 1}: Clean Acc: {fmt_pct(m['clean_correct'] * 100 / n)} | "
+                f"Bd Acc: {fmt_pct(m['bd_correct'] * 100 / n)} | F Acc: {fmt_pct(m['F_correct'] * 100 / n)}"
+            )
+            if spec.track_cross:
+                line += f" | Cross Acc: {fmt_pct(m['cross_correct'] * 100 / n)}"
+            line += (
+                f" | Clean Model Acc: {fmt_pct(m['clean_model_correct'] * 100 / n)} | "
+                f"Clean Model Bd BA: {fmt_pct(m['clean_model_bd_ba'] * 100 / n)} | "
+                f"Clean Model Bd ASR: {fmt_pct(m['clean_model_bd_asr'] * 100 / n)} | {ips:.0f} img/s"
+            )
+            print(line)
+            logger.log(epoch, {k: v for k, v in m.items() if k != "sample"} | {"images_per_sec": ips})
+
+            em = metrics_to_host(eval_epoch(
+                eval_step,
+                ({"params": stateC.params, "batch_stats": stateC.batch_stats}, stateG.params, clean_model, netF),
+                timgs, tlabs, eidx, evalid, jax.random.fold_in(k_run, 10_000_000 + epoch), cfg.bs,
+                with_pair=spec.pair,
+            ))
+            cs, bs_ = em["clean_sample"], max(em["bd_sample"], 1.0)
+            acc_clean = em["clean_correct"] * 100 / cs
+            acc_bd = em["bd_correct"] * 100 / bs_
+            # multilabel counts F over all rows per class pass (:378)
+            f_denom = cs * cfg.num_classes if spec.conditional else bs_
+            acc_F = em["F_correct"] * 100 / f_denom
+            acc_cm = em["clean_model_correct"] * 100 / cs
+            ba_cm = em["clean_model_bd_ba"] * 100 / bs_
+            asr_cm = em["clean_model_bd_asr"] * 100 / bs_
+            eval_line = (
+                f"  Eval: Clean Acc: {fmt_pct(acc_clean)} - Best: {fmt_pct(best['best_clean_acc'])} | "
+                f"Bd Acc: {fmt_pct(acc_bd)} - Best: {fmt_pct(best['best_bd_acc'])} | F Acc: {fmt_pct(acc_F)}"
+            )
+            scalars = {"Clean": acc_clean, "Bd": acc_bd, "F": acc_F, "Clean Model Acc": acc_cm,
+                       "Clean Model Bd BA": ba_cm, "Clean Model Bd ASR": asr_cm}
+            if spec.track_cross:
+                cross = em["cross_correct"] * 100 / bs_
+                eval_line += f" | Cross Acc: {fmt_pct(cross)}"
+                scalars["Cross"] = cross
+            print(eval_line)
+            logger.log(epoch, scalars, group="test")
+
+            if best_gate_attack(acc_clean, acc_bd, best["best_clean_acc"], best["best_bd_acc"]):
+                print(" Saving...")
+                best.update(dict(zip(BASE_BEST_KEYS, (acc_clean, acc_bd, acc_F, acc_cm, ba_cm, asr_cm))))
+                if spec.track_cross:
+                    best["best_cross_acc"] = cross
+                save_checkpoint(ckpt_path, payload_of(epoch))
+    logger.close()
+    return best

@@ -44,6 +44,30 @@ def _normalize(u8: np.ndarray) -> np.ndarray:
     return (u8.astype(np.float32) / 255.0) * 2.0 - 1.0
 
 
+def _load_cifar10_bin(root: str, train: bool) -> Optional[ArrayDataset]:
+    """CIFAR-10 *binary* layout via the native decoder (combat_io.cc), with a
+    numpy fallback parse of the same fixed-record format."""
+    base = os.path.join(root, "cifar-10-batches-bin")
+    if not os.path.isdir(base):
+        return None
+    from .. import native
+
+    files = [f"data_batch_{i}.bin" for i in range(1, 6)] if train else ["test_batch.bin"]
+    images, labels = [], []
+    for fn in files:
+        path = os.path.join(base, fn)
+        decoded = native.decode_cifar10_bin(path) if native.available() else None
+        if decoded is None:
+            raw = np.fromfile(path, np.uint8).reshape(-1, 1 + 3 * 32 * 32)
+            labels.append(raw[:, 0].astype(np.int32))
+            chw = raw[:, 1:].reshape(-1, 3, 32, 32)
+            images.append(_normalize(chw.transpose(0, 2, 3, 1)))
+        else:
+            images.append(decoded[0])
+            labels.append(decoded[1])
+    return ArrayDataset(np.concatenate(images), np.concatenate(labels))
+
+
 def _load_cifar10_torchvision(root: str, train: bool) -> Optional[ArrayDataset]:
     base = os.path.join(root, "cifar-10-batches-py")
     if not os.path.isdir(base):
@@ -100,6 +124,18 @@ def synthetic_dataset(cfg: Config, train: bool, n: Optional[int] = None) -> Arra
     return ArrayDataset(images.astype(np.float32), labels)
 
 
+def get_mean_and_std(ds: ArrayDataset) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-channel mean/std (reference ``utils/utils.py:15-27``)."""
+    return ds.images.mean(axis=(0, 1, 2)), ds.images.std(axis=(0, 1, 2))
+
+
+def with_indices(ds: ArrayDataset) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(images, labels, indices) triplets — the reference's inference-
+    bookkeeping dataset variant (``utils/dataloader_infer.py:100-113``
+    returns (x, y, index) per row)."""
+    return ds.images, ds.labels, np.arange(len(ds), dtype=np.int64)
+
+
 def get_dataset(cfg: Config, train: bool, target_label: Optional[int] = None) -> ArrayDataset:
     """Load a split as host numpy; mirrors ``get_dataloader``'s dataset
     selection incl. the ``target_label`` filter and the ``--debug`` 1000-row
@@ -107,7 +143,7 @@ def get_dataset(cfg: Config, train: bool, target_label: Optional[int] = None) ->
     ds = None
     if not cfg.synthetic_data:
         if cfg.dataset == "cifar10":
-            ds = _load_cifar10_torchvision(cfg.data_root, train)
+            ds = _load_cifar10_bin(cfg.data_root, train) or _load_cifar10_torchvision(cfg.data_root, train)
         if ds is None:
             ds = _load_npz(cfg.data_root, cfg.dataset, train)
     if ds is None:

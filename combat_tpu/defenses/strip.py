@@ -1,0 +1,125 @@
+"""STRIP backdoor detector — vectorized on device.
+
+Parity with reference ``defenses/STRIP/STRIP.py``: each test image is
+superimposed with ``n_sample=100`` random test-set overlays (saturating uint8
+add, ``_superimpose:60-64``), the classifier's sigmoid outputs give an entropy
+``-Σ p·log2(p)`` averaged over overlays (``_get_entropy:66-78``); the verdict
+is ``min entropy < detection_boundary (0.2)`` over trojan+benign lists
+(``main:252-259``).
+
+TPU-native: the reference ping-pongs host (cv2/numpy) ↔ device per image;
+here all ``n_test × n_sample`` superimpositions and classifier forwards run
+as one batched device computation per test image chunk (SURVEY.md §3.5 note).
+Superimposition runs in the [0,255] float domain with clipping — the uint8
+saturation semantics of ``cv2.addWeighted`` up to rounding.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def superimpose_entropy(
+    C_apply,
+    varsC,
+    backgrounds: jnp.ndarray,  # (n_test, H, W, C) in [-1, 1]
+    overlays: jnp.ndarray,  # (pool, H, W, C) in [-1, 1]
+    key: jax.Array,
+    n_sample: int = 100,
+) -> jnp.ndarray:
+    """Entropy per background image, vectorized over (n_test, n_sample)."""
+    n_test = backgrounds.shape[0]
+    idx = jax.random.randint(key, (n_test, n_sample), 0, overlays.shape[0])
+
+    def per_background(args):
+        bg, ov_idx = args
+        ov = overlays[ov_idx]  # (n_sample, H, W, C)
+        bg255 = (bg + 1.0) * 127.5
+        ov255 = (ov + 1.0) * 127.5
+        mixed = jnp.clip(bg255 + ov255, 0.0, 255.0)  # cv2.addWeighted(1,1,0)
+        x = mixed / 255.0 * 2.0 - 1.0
+        logits = C_apply(varsC, x, train=False)
+        p = jax.nn.sigmoid(logits)
+        ent = -jnp.nansum(p * jnp.log2(p))
+        return ent / n_sample
+
+    return jax.lax.map(per_background, (backgrounds, idx))
+
+
+def strip_verdict(entropies_trojan, entropies_benign, boundary: float = 0.2) -> Tuple[float, bool]:
+    all_e = list(np.asarray(entropies_trojan).ravel()) + list(np.asarray(entropies_benign).ravel())
+    min_entropy = float(min(all_e))
+    return min_entropy, min_entropy < boundary
+
+
+def main(argv=None):
+    """CLI parity with reference ``defenses/STRIP/STRIP.py:197-259``."""
+    import os
+
+    from ..attack.triggers import additive_trigger
+    from ..checkpoint import load_checkpoint
+    from ..cli.common import build_mesh, ref_ckpt_path
+    from ..config import build_parser, apply_dataset_preset, Config
+    from ..data import get_dataset
+    from ..models import get_classifier, get_generator
+
+    parser = build_parser()
+    parser.add_argument("--n_sample", type=int, default=100)
+    parser.add_argument("--n_test", type=int, default=100)
+    parser.add_argument("--detection_boundary", type=float, default=0.2)
+    parser.add_argument("--test_rounds", type=int, default=10)
+    parser.add_argument("--results", type=str, default="./results")
+    ns = parser.parse_args(argv)
+    extra = {k: getattr(ns, k) for k in ("n_sample", "n_test", "detection_boundary", "test_rounds", "results")}
+    cfg = apply_dataset_preset(Config(**{k: v for k, v in vars(ns).items() if k in Config.__dataclass_fields__}))
+
+    build_mesh(cfg)
+    mode = "attack" if "2" in cfg.attack_mode else "clean"
+    print(mode)
+
+    C = get_classifier(cfg)
+    G = get_generator(cfg, "unet")
+    ckpt = ref_ckpt_path(cfg.checkpoints, f"{cfg.saving_prefix}_clean", cfg.dataset)
+    payload = load_checkpoint(ckpt)
+    varsC = {
+        "params": jax.tree.map(jnp.asarray, payload["netC"]["params"]),
+        "batch_stats": jax.tree.map(jnp.asarray, payload["netC"]["batch_stats"]),
+    }
+    test_ds = get_dataset(cfg, train=False)
+    overlays = jnp.asarray(test_ds.images)
+    key = jax.random.key(cfg.seed)
+
+    trojan_all, benign_all = [], []
+    for r in range(extra["test_rounds"]):
+        kr = jax.random.fold_in(key, r)
+        bg = overlays[: extra["n_test"]]
+        if mode == "attack":
+            paramsG = jax.tree.map(jnp.asarray, payload["netG"]["params"])
+            noise = G.apply({"params": paramsG}, bg)
+            bg_bd = additive_trigger(
+                jax.random.fold_in(kr, 1), bg, noise,
+                image_size=cfg.input_height, ratio=cfg.ratio, noise_rate=cfg.noise_rate,
+                kernel_size=cfg.kernel_size, sigma=cfg.sigma,
+            )
+            trojan_all += list(np.asarray(superimpose_entropy(
+                C.apply, varsC, bg_bd, overlays, jax.random.fold_in(kr, 2), extra["n_sample"])))
+        benign_all += list(np.asarray(superimpose_entropy(
+            C.apply, varsC, bg, overlays, jax.random.fold_in(kr, 3), extra["n_sample"])))
+
+    result_dir = os.path.join(extra["results"], cfg.dataset)
+    os.makedirs(result_dir, exist_ok=True)
+    with open(os.path.join(result_dir, f"{cfg.dataset}_result.txt"), "w+") as f:
+        f.write(" ".join(str(e) for e in trojan_all) + "\n")
+        f.write(" ".join(str(e) for e in benign_all))
+
+    min_entropy, backdoored = strip_verdict(trojan_all or [np.inf], benign_all, extra["detection_boundary"])
+    print(f"Min entropy trojan: {min_entropy}, Detection boundary: {extra['detection_boundary']}")
+    print("A backdoored model\n" if backdoored else "Not a backdoor model\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -12,8 +12,17 @@ from .generators import (
     UnetGenerator,
     UnetGeneratorBK,
 )
-from .layers import InstanceNorm
-from .misc import AE, NetC_CelebA, NetC_GTRSB, NetC_MNIST, denormalize_pm05, normalize_pm05
+from .layers import InstanceNorm, guided_relu
+from .misc import (
+    AE,
+    NetC_CelebA,
+    NetC_GTRSB,
+    NetC_MNIST,
+    NetC_MNIST2,
+    NetC_MNIST3,
+    denormalize_pm05,
+    normalize_pm05,
+)
 from .mobilenetv2 import MobileNetV2
 from .preact_resnet import (
     PreActResNet,
@@ -28,3 +37,21 @@ from .registry import CLASSIFIERS, get_classifier, get_frequency_detector, get_g
 from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101, resnet152
 from .vgg import VGG, vgg
 from .vit import SimpleViT
+from .zoo_extra import (
+    DPN,
+    EfficientNetB0,
+    GoogLeNet,
+    LeNet,
+    MobileNetV1,
+    PNASNet,
+    ResNeXt29,
+    SENet18,
+    ShuffleNetG2,
+    ShuffleNetV2,
+    dpn26,
+    dpn92,
+    pnasnet_a,
+    pnasnet_b,
+    resnext29_2x64d,
+    resnext29_32x4d,
+)

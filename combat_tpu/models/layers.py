@@ -32,6 +32,26 @@ def torch_bias_init(fan_in: int):
     return init
 
 
+@jax.custom_vjp
+def guided_relu(x):
+    """ReLU whose backward pass only propagates positive gradients through
+    positive activations — Guided Backpropagation (reference
+    ``defenses/gradcam/gradcam.py:201-271`` implements this by patching every
+    ReLU module; here it's a custom-VJP activation the model is built with)."""
+    return jnp.maximum(x, 0.0)
+
+
+def _guided_relu_fwd(x):
+    return jnp.maximum(x, 0.0), x
+
+
+def _guided_relu_bwd(x, g):
+    return (jnp.where((x > 0) & (g > 0), g, 0.0),)
+
+
+guided_relu.defvjp(_guided_relu_fwd, _guided_relu_bwd)
+
+
 class InstanceNorm(nn.Module):
     """``nn.InstanceNorm2d`` parity: normalize over (H, W) per sample per
     channel; no affine, no running stats (torch defaults)."""

@@ -136,6 +136,74 @@ class NetC_MNIST(nn.Module):
         return dense(self.num_classes, 512, name="linear9")(x)
 
 
+class MNISTBlock(nn.Module):
+    """BN→ReLU→conv residual block (reference models.py:741-762)."""
+
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_planes = x.shape[-1]
+        out = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(x))
+        if self.stride != 1 or in_planes != self.planes:
+            fan = 1 * in_planes
+            sc = nn.Conv(self.planes, (1, 1), strides=(self.stride, self.stride), use_bias=False,
+                         kernel_init=torch_kernel_init, name="shortcut")(out)
+        else:
+            sc = x
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride), padding=1, use_bias=False,
+                      kernel_init=torch_kernel_init, name="conv1")(out)
+        return out + sc
+
+
+class NetC_MNIST2(nn.Module):
+    """reference models.py:765-785."""
+
+    num_classes: int = 10
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.relu(_conv(32, 3, 1, 1, "conv1", 9 * x.shape[-1])(x))
+        x = MNISTBlock(64, 2, name="layer2")(x, train)
+        x = MNISTBlock(64, 2, name="layer3")(x, train)
+        x = MNISTBlock(64, 2, name="layer4")(x, train)
+        x = nn.Dropout(0.3, deterministic=not train)(x)
+        x = flatten(x)
+        x = nn.relu(dense(512, x.shape[-1], name="linear6")(x))
+        x = nn.Dropout(0.3, deterministic=not train)(x)
+        return dense(self.num_classes, 512, name="linear9")(x)
+
+
+class MNISTBlock3(nn.Module):
+    """Shortcut-less variant (reference models.py:788-811)."""
+
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = nn.relu(nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(x))
+        return nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride), padding=1, use_bias=False,
+                       kernel_init=torch_kernel_init, name="conv1")(out)
+
+
+class NetC_MNIST3(nn.Module):
+    """reference models.py:814-834 (used by the neural-cleanse mnist path)."""
+
+    num_classes: int = 10
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.relu(_conv(32, 3, 2, 1, "conv1", 9 * x.shape[-1])(x))
+        x = MNISTBlock3(64, 2, name="layer2")(x, train)
+        x = MNISTBlock3(64, 2, name="layer3")(x, train)
+        x = flatten(x)
+        x = nn.relu(dense(512, x.shape[-1], name="linear6")(x))
+        x = nn.Dropout(0.3, deterministic=not train)(x)
+        return dense(self.num_classes, 512, name="linear9")(x)
+
+
 class NetC_CelebA(nn.Module):
     """Small CelebA CNN (reference models.py:870-902)."""
 

@@ -58,6 +58,41 @@ CLASSIFIERS = {
     ),
 }
 
+# Latent experiment zoo (reference classifier_models/{lenet,mobilenet,...}.py)
+from .zoo_extra import (  # noqa: E402
+    EfficientNetB0,
+    GoogLeNet,
+    LeNet,
+    MobileNetV1,
+    ShuffleNetG2,
+    ShuffleNetV2,
+    SENet18,
+    dpn26,
+    dpn92,
+    pnasnet_a,
+    pnasnet_b,
+    resnext29_2x64d,
+    resnext29_32x4d,
+)
+
+CLASSIFIERS.update(
+    {
+        "lenet": lambda num_classes, **kw: LeNet(num_classes),
+        "mobilenet": lambda num_classes, **kw: MobileNetV1(num_classes),
+        "efficientnetb0": lambda num_classes, **kw: EfficientNetB0(num_classes),
+        "googlenet": lambda num_classes, **kw: GoogLeNet(num_classes),
+        "dpn26": lambda num_classes, **kw: dpn26(num_classes),
+        "dpn92": lambda num_classes, **kw: dpn92(num_classes),
+        "senet18": lambda num_classes, **kw: SENet18(num_classes),
+        "shufflenetg2": lambda num_classes, **kw: ShuffleNetG2(num_classes),
+        "shufflenetv2": lambda num_classes, **kw: ShuffleNetV2(num_classes),
+        "resnext29_2x64d": lambda num_classes, **kw: resnext29_2x64d(num_classes),
+        "resnext29_32x4d": lambda num_classes, **kw: resnext29_32x4d(num_classes),
+        "pnasneta": lambda num_classes, **kw: pnasnet_a(num_classes),
+        "pnasnetb": lambda num_classes, **kw: pnasnet_b(num_classes),
+    }
+)
+
 
 def get_classifier(cfg: Config) -> nn.Module:
     """Default classifier per dataset (reference get_model train_generator.py:90-110)."""

@@ -62,14 +62,27 @@ class ResNet(nn.Module):
     bottleneck: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False, capture_features: bool = False):
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        channel_mask: Optional[jnp.ndarray] = None,
+        capture_features: bool = False,
+        feature_perturb=None,
+    ):
         block_cls = Bottleneck if self.bottleneck else BasicBlock
         out = nn.relu(batch_norm(train, name="bn1")(conv(64, name="conv1")(x)))
         feats = {}
         for stage, (planes, stride) in enumerate(zip((64, 128, 256, 512), (1, 2, 2, 2)), start=1):
             for i in range(self.num_blocks[stage - 1]):
                 out = block_cls(planes, stride if i == 0 else 1, name=f"layer{stage}_{i}")(out, train)
+            if feature_perturb is not None and f"layer{stage}" in feature_perturb:
+                out = out + feature_perturb[f"layer{stage}"]
             feats[f"layer{stage}"] = out
+        if channel_mask is not None:
+            # fine-pruning hook: equivalent to the reference's channel surgery
+            # on layer4 + linear column selection (fine-pruning.py:193-211)
+            out = out * channel_mask.astype(out.dtype)
         out = avg_pool(out, 4)
         out = flatten(out)
         logits = dense(self.num_classes, out.shape[-1], name="linear")(out)

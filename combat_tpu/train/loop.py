@@ -65,6 +65,37 @@ def train_epoch_alternated(
     return stateC, stateG, jax.tree.map(lambda a: a.sum(0), ms)
 
 
+@partial(jax.jit, static_argnames=("step_fn", "bs"))
+def train_epoch_alternated_pair(
+    step_fn: Callable,
+    stateC,
+    stateG,
+    clean_model,
+    netF,
+    images: jnp.ndarray,
+    labels: jnp.ndarray,
+    key: jax.Array,
+    bs: int,
+):
+    """Alternated epoch with a second independent shuffled stream (the
+    input-aware variant's two dataloaders, reference
+    ``train_generator_inputaware.py:535-538``); batch = (x, y, x2)."""
+    kperm, kperm2, kstep = jax.random.split(key, 3)
+    perm = epoch_permutation(kperm, images.shape[0], bs)
+    perm2 = epoch_permutation(kperm2, images.shape[0], bs)
+
+    def body(carry, idx_pair):
+        stateC, stateG = carry
+        idx, idx2 = idx_pair
+        sub = jax.random.fold_in(kstep, stateC.step)
+        batch = (images[idx], labels[idx], images[idx2])
+        stateC, stateG, m = step_fn(stateC, stateG, clean_model, netF, batch, sub)
+        return (stateC, stateG), m
+
+    (stateC, stateG), ms = jax.lax.scan(body, (stateC, stateG), (perm, perm2))
+    return stateC, stateG, jax.tree.map(lambda a: a.sum(0), ms)
+
+
 @partial(jax.jit, static_argnames=("step_fn", "bs", "has_poison"))
 def train_epoch_classifier(
     step_fn: Callable,
@@ -95,7 +126,7 @@ def train_epoch_classifier(
     return stateC, jax.tree.map(lambda a: a.sum(0), ms)
 
 
-@partial(jax.jit, static_argnames=("step_fn", "bs", "with_key"))
+@partial(jax.jit, static_argnames=("step_fn", "bs", "with_key", "with_pair"))
 def eval_epoch(
     step_fn: Callable,
     step_args: Tuple,
@@ -106,12 +137,22 @@ def eval_epoch(
     key: jax.Array,
     bs: int,
     with_key: bool = True,
+    with_pair: bool = False,
 ):
-    """Scan an eval step over padded fixed-shape batches; exact masked sums."""
+    """Scan an eval step over padded fixed-shape batches; exact masked sums.
+    ``with_pair`` adds a second shuffled image stream to each batch (the
+    input-aware cross-accuracy eval)."""
+    pair_perm = None
+    if with_pair:
+        pair_perm = jax.random.permutation(jax.random.fold_in(key, 0x7FFFFFFF), images.shape[0])
 
     def body(i, pair):
         ix, vd = pair
-        batch = (images[ix], labels[ix], vd)
+        if with_pair:
+            ix2 = pair_perm[ix % images.shape[0]]
+            batch = (images[ix], labels[ix], images[ix2], vd)
+        else:
+            batch = (images[ix], labels[ix], vd)
         if with_key:
             m = step_fn(*step_args, batch, jax.random.fold_in(key, i))
         else:

@@ -18,4 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+if os.environ.get("COMBAT_FORCE_CPU"):
+    # Reliable CPU forcing even where a platform plugin overrides
+    # JAX_PLATFORMS (e.g. this build container's axon sitecustomize).
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -18,6 +18,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_dryrun_multichip_8cpu():
     env = dict(os.environ)
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip()
+    # Scrub any TPU-plugin environment (e.g. an axon sitecustomize on
+    # PYTHONPATH): the subprocess must be a pure-CPU client and must not
+    # register with a device pool — concurrent pool clients can wedge the
+    # device tunnel for every process on the host.
+    env["PYTHONPATH"] = REPO
+    env["JAX_PLATFORMS"] = "cpu"
+    for k in list(env):
+        if k.startswith(("PALLAS_AXON", "AXON", "TPU")):
+            env.pop(k)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "__graft_entry__.py"), "multichip", "8"],
         capture_output=True,
