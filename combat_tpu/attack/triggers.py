@@ -45,7 +45,8 @@ def additive_trigger(
     """Inject a generator noise map into x: DCT low-pass, scaled add, clamp,
     Gaussian blur. One blur-sigma draw per call (one per batch), like each
     ``gauss_smooth`` invocation in the reference."""
-    n = low_freq(noise, image_size=image_size, ratio=ratio)
+    # trigger math in the image dtype (f32) even under bf16 model compute
+    n = low_freq(noise.astype(x.dtype), image_size=image_size, ratio=ratio)
     x_bd = jnp.clip(x + n * noise_rate, -1.0, 1.0)
     return random_gaussian_blur(key, x_bd, kernel_size, sigma)
 

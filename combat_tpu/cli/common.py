@@ -38,6 +38,9 @@ def device_dataset(cfg: Config, mesh, train: bool) -> Tuple[jnp.ndarray, jnp.nda
 
 
 def build_mesh(cfg: Config):
+    from ..models.layers import set_compute_dtype
+
+    set_compute_dtype(cfg.compute_dtype)
     mesh = make_mesh(cfg.n_devices, cfg.dp_axis)
     print(f"[{BANNER}] mesh: {mesh.devices.size} device(s) on axis {mesh.axis_names!r}: "
           f"{[str(d) for d in mesh.devices.flat]}")

@@ -19,7 +19,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import batch_norm, dense, flatten, max_pool2, torch_bias_init, torch_kernel_init
+from .layers import batch_norm, compute_dtype, dense, flatten, max_pool2, torch_bias_init, torch_kernel_init
 
 
 class FrequencyModel(nn.Module):
@@ -40,6 +40,7 @@ class FrequencyModel(nn.Module):
                     padding="SAME",
                     kernel_init=torch_kernel_init,
                     bias_init=torch_bias_init(fan_in),
+                    dtype=compute_dtype(),
                     name=f"conv{i}",
                 )(x)
                 x = nn.elu(x)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.image import upsample2x_bilinear
-from .layers import InstanceNorm, dense, torch_bias_init, torch_kernel_init
+from .layers import InstanceNorm, compute_dtype, dense, torch_bias_init, torch_kernel_init
 
 
 def _conv(features: int, stride: int = 1, name=None):
@@ -43,6 +43,7 @@ def _conv(features: int, stride: int = 1, name=None):
             use_bias=True,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init(3 * 3 * in_features),
+            dtype=compute_dtype(),
             name=name,
         )
 

@@ -12,6 +12,8 @@ the reference; this is a distributional, not bitwise, parity.
 
 from __future__ import annotations
 
+import contextvars
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -20,6 +22,24 @@ import numpy as np
 # PyTorch nn.Conv2d / nn.Linear default weight init: kaiming_uniform(a=√5)
 # == U(-1/√fan_in, 1/√fan_in) == variance_scaling(1/3, fan_in, uniform).
 torch_kernel_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+# ---------------------------------------------------------------------------
+# Mixed precision: conv/dense compute in `compute_dtype()` (params stay f32);
+# BatchNorm and the loss stay f32 (the standard TPU recipe — bf16 on the MXU
+# path, f32 where reductions need range).  None (default) = pure f32.
+# Set once per process from Config.compute_dtype (CLI harnesses, bench.py).
+# ---------------------------------------------------------------------------
+_COMPUTE_DTYPE = contextvars.ContextVar("combat_compute_dtype", default=None)
+
+
+def set_compute_dtype(dtype) -> None:
+    if isinstance(dtype, str):
+        dtype = None if dtype in ("float32", "f32", "") else jnp.dtype(dtype)
+    _COMPUTE_DTYPE.set(dtype)
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE.get()
 
 
 def torch_bias_init(fan_in: int):
@@ -60,9 +80,11 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
-        var = jnp.var(x, axis=(-3, -2), keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        # stats in f32 even under bf16 compute (mean/var need the range)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(-3, -2), keepdims=True)
+        var = jnp.var(x32, axis=(-3, -2), keepdims=True)
+        return (((x32 - mean) * jax.lax.rsqrt(var + self.epsilon))).astype(x.dtype)
 
 
 def conv(features: int, kernel: int = 3, stride: int = 1, use_bias: bool = False, fan_in: int | None = None, name=None):
@@ -75,6 +97,7 @@ def conv(features: int, kernel: int = 3, stride: int = 1, use_bias: bool = False
         padding=[(kernel // 2, kernel // 2)] * 2,
         use_bias=use_bias,
         kernel_init=torch_kernel_init,
+        dtype=compute_dtype(),
         name=name,
     )
     if use_bias:
@@ -88,6 +111,7 @@ def dense(features: int, fan_in: int, name=None):
         features=features,
         kernel_init=torch_kernel_init,
         bias_init=torch_bias_init(fan_in),
+        dtype=compute_dtype(),
         name=name,
     )
 

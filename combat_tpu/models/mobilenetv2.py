@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 
-from .layers import avg_pool, batch_norm, conv, dense, flatten, torch_kernel_init
+from .layers import avg_pool, batch_norm, compute_dtype, conv, dense, flatten, torch_kernel_init
 
 # (expansion, out_planes, num_blocks, stride) — reference mobilenetv2.py:46-54
 CFG = (
@@ -42,6 +42,7 @@ class InvertedResidual(nn.Module):
             feature_group_count=planes,
             use_bias=False,
             kernel_init=torch_kernel_init,
+            dtype=compute_dtype(),
             name="conv2",
         )(out)
         out = nn.relu(batch_norm(train, name="bn2")(out))

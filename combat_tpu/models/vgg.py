@@ -12,7 +12,7 @@ from typing import Sequence, Union
 
 import flax.linen as nn
 
-from .layers import batch_norm, dense, flatten, max_pool2, torch_bias_init, torch_kernel_init
+from .layers import batch_norm, compute_dtype, dense, flatten, max_pool2, torch_bias_init, torch_kernel_init
 
 CFG = {
     "VGG11": (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"),
@@ -40,6 +40,7 @@ class VGG(nn.Module):
                     padding=1,
                     kernel_init=torch_kernel_init,
                     bias_init=torch_bias_init(fan_in),
+                    dtype=compute_dtype(),
                     name=f"conv{i}",
                 )(x)
                 x = batch_norm(train, name=f"bn{i}")(x)

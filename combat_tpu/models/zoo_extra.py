@@ -22,9 +22,12 @@ from .layers import avg_pool, batch_norm, conv, dense, flatten, max_pool2, torch
 def _convb(features, kernel=3, stride=1, padding=None, groups=1, name=None):
     if padding is None:
         padding = (kernel - 1) // 2
+    from .layers import compute_dtype
+
     return nn.Conv(
         features, (kernel, kernel), strides=(stride, stride), padding=padding,
-        feature_group_count=groups, use_bias=False, kernel_init=torch_kernel_init, name=name,
+        feature_group_count=groups, use_bias=False, kernel_init=torch_kernel_init,
+        dtype=compute_dtype(), name=name,
     )
 
 

@@ -33,17 +33,25 @@ from .image import grid_sample
 
 
 def random_crop_with_padding(key: jax.Array, x: jnp.ndarray, padding: int) -> jnp.ndarray:
-    """Per-image random crop after constant-0 padding (kornia RandomCrop)."""
+    """Per-image random crop after constant-0 padding (kornia RandomCrop).
+
+    TPU-first: a per-image crop is a per-image integer translation, expressed
+    as two one-hot selection matmuls instead of a vmapped ``dynamic_slice``
+    (which lowers to a serial gather and dominated the fused step)."""
     n, h, w, c = x.shape
     padded = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
     kt, kl = jax.random.split(key)
     tops = jax.random.randint(kt, (n,), 0, 2 * padding + 1)
     lefts = jax.random.randint(kl, (n,), 0, 2 * padding + 1)
-
-    def crop_one(img, t, l):
-        return jax.lax.dynamic_slice(img, (t, l, 0), (h, w, c))
-
-    return jax.vmap(crop_one)(padded, tops, lefts)
+    rows = jnp.arange(h)
+    cols = jnp.arange(w)
+    src_rows = jnp.arange(h + 2 * padding)
+    src_cols = jnp.arange(w + 2 * padding)
+    # sel_y[b, i, Y] = (Y == i + tops[b])
+    sel_y = (src_rows[None, None, :] == rows[None, :, None] + tops[:, None, None]).astype(x.dtype)
+    sel_x = (src_cols[None, None, :] == cols[None, :, None] + lefts[:, None, None]).astype(x.dtype)
+    t = jnp.einsum("biY,bYXc->biXc", sel_y, padded)
+    return jnp.einsum("bjX,biXc->bijc", sel_x, t)
 
 
 def random_rotation(key: jax.Array, x: jnp.ndarray, max_degrees: float) -> jnp.ndarray:

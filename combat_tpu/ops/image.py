@@ -95,8 +95,21 @@ def grid_sample(x: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = True) -
     """Bilinear grid sample, NHWC input, grid (N, Ho, Wo, 2) with (x, y) in
     [-1, 1]; zero padding outside.  Parity with
     ``F.grid_sample(..., mode='bilinear', padding_mode='zeros')``.
+
+    TPU-first formulation: instead of a 4-point gather (XLA gathers are
+    serial and dominate the train step on TPU — measured 4x slowdown of the
+    whole alternated step), bilinear interpolation is expressed through hat
+    functions ``u(o, k) = relu(1 - |f(o) - k|)`` which have exactly the two
+    bilinear taps as nonzeros, giving
+
+        out[b,o,c] = Σ_y u_y[b,o,y] · Σ_x u_x[b,o,x] · img[b,y,x,c]
+
+    — two batched matmuls on the MXU, no gather/scatter.  Out-of-range
+    samples get all-zero hats, which reproduces zeros padding exactly
+    (including the partial-weight boundary taps).
     """
     n, h, w, c = x.shape
+    ho, wo = grid.shape[1], grid.shape[2]
     gx, gy = grid[..., 0], grid[..., 1]
     if align_corners:
         fx = (gx + 1.0) * 0.5 * (w - 1)
@@ -104,28 +117,14 @@ def grid_sample(x: jnp.ndarray, grid: jnp.ndarray, align_corners: bool = True) -
     else:
         fx = ((gx + 1.0) * w - 1.0) * 0.5
         fy = ((gy + 1.0) * h - 1.0) * 0.5
-    x0 = jnp.floor(fx)
-    y0 = jnp.floor(fy)
-    wx = fx - x0
-    wy = fy - y0
+    ux = nn_relu(1.0 - jnp.abs(fx[..., None] - jnp.arange(w, dtype=fx.dtype)))  # (N,Ho,Wo,W)
+    uy = nn_relu(1.0 - jnp.abs(fy[..., None] - jnp.arange(h, dtype=fy.dtype)))  # (N,Ho,Wo,H)
+    t = jnp.einsum("bijx,byxc->bijyc", ux.astype(x.dtype), x)
+    return jnp.einsum("bijy,bijyc->bijc", uy.astype(x.dtype), t)
 
-    def gather(yi, xi):
-        valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
-        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        batch = jnp.arange(n)[:, None, None]
-        vals = x[batch, yi_c, xi_c]  # (N, Ho, Wo, C)
-        return vals * valid[..., None].astype(x.dtype)
 
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x0 + 1)
-    v10 = gather(y0 + 1, x0)
-    v11 = gather(y0 + 1, x0 + 1)
-    wx = wx[..., None].astype(x.dtype)
-    wy = wy[..., None].astype(x.dtype)
-    top = v00 * (1.0 - wx) + v01 * wx
-    bot = v10 * (1.0 - wx) + v11 * wx
-    return top * (1.0 - wy) + bot * wy
+def nn_relu(v):
+    return jnp.maximum(v, 0.0)
 
 
 def total_variation(x: jnp.ndarray) -> jnp.ndarray:

@@ -35,7 +35,8 @@ from .state import FrozenModel, TrainState
 
 
 def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    # f32 softmax regardless of compute dtype (mixed-precision recipe)
+    return optax.softmax_cross_entropy_with_integer_labels(logits.astype(jnp.float32), labels).mean()
 
 
 def _aug_fn(cfg: Config):
