@@ -1,0 +1,61 @@
+"""End-to-end attack-quality run on the synthetic dataset (internal tool).
+
+Drives the full pipeline at real scale (full synthetic splits, bf16):
+clean classifier → alternated generator → victim → final eval, and prints
+the trajectory of the headline metrics (clean acc up, ASR up).  With no
+CIFAR-10 on disk in this environment this is the strongest end-to-end
+convergence evidence available; on a machine with data, drop the
+``--synthetic_data`` flag in the CLIs instead.
+"""
+
+import sys
+
+sys.argv = [sys.argv[0]]
+
+EPOCHS_CLEAN = 12
+EPOCHS_GEN = 15
+EPOCHS_VICTIM = 12
+
+COMMON = [
+    "--dataset", "cifar10", "--synthetic_data", "--bs", "128",
+    "--compute_dtype", "bfloat16", "--seed", "1",
+]
+
+
+def main():
+    from combat_tpu.cli import eval as eval_cli
+    from combat_tpu.cli import train_clean_classifier, train_generator, train_victim
+    from combat_tpu.config import from_args
+
+    print("=== stage 1: clean classifier ===")
+    cfg = from_args(COMMON + ["--n_iters", str(EPOCHS_CLEAN), "--saving_prefix", "q_clean"])
+    best_clean = train_clean_classifier.run(cfg)
+    print(f"clean classifier best acc: {best_clean:.2f}")
+
+    print("=== stage 2: alternated generator ===")
+    cfg = from_args(COMMON + [
+        "--n_iters", str(EPOCHS_GEN), "--saving_prefix", "q_atk",
+        "--load_checkpoint_clean", "q_clean", "--pc", "0.5", "--noise_rate", "0.08",
+    ])
+    best = train_generator.run(cfg)
+    print("generator best:", {k: round(v, 2) for k, v in best.items()})
+
+    print("=== stage 3: victim ===")
+    cfg = from_args(COMMON + [
+        "--n_iters", str(EPOCHS_VICTIM), "--saving_prefix", "q_victim",
+        "--load_checkpoint", "q_atk_clean", "--pc", "0.5", "--noise_rate", "0.08",
+    ])
+    vbest = train_victim.run(cfg)
+    print(f"victim best clean {vbest['best_clean_acc']:.2f} / bd {vbest['best_bd_acc']:.2f}")
+
+    print("=== stage 4: final eval ===")
+    cfg = from_args(COMMON + [
+        "--saving_prefix", "q_eval", "--load_checkpoint", "q_atk_clean",
+        "--load_checkpoint_clean", "q_victim_clean", "--noise_rate", "0.08",
+    ])
+    acc, ba, asr = eval_cli.run(cfg)
+    print(f"FINAL: Clean Acc {acc:.2f} | Bd BA {ba:.2f} | Bd ASR {asr:.2f}")
+
+
+if __name__ == "__main__":
+    main()
