@@ -41,12 +41,13 @@ def additive_trigger(
     noise_rate: float,
     kernel_size: int,
     sigma: Tuple[float, float],
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Inject a generator noise map into x: DCT low-pass, scaled add, clamp,
     Gaussian blur. One blur-sigma draw per call (one per batch), like each
     ``gauss_smooth`` invocation in the reference."""
     # trigger math in the image dtype (f32) even under bf16 model compute
-    n = low_freq(noise.astype(x.dtype), image_size=image_size, ratio=ratio)
+    n = low_freq(noise.astype(x.dtype), image_size=image_size, ratio=ratio, use_pallas=use_pallas)
     x_bd = jnp.clip(x + n * noise_rate, -1.0, 1.0)
     return random_gaussian_blur(key, x_bd, kernel_size, sigma)
 

@@ -106,6 +106,7 @@ class Config:
     dp_axis: str = "data"  # mesh axis name for data parallelism
     n_devices: int = 0  # 0 = all visible devices
     compute_dtype: str = "float32"  # bfloat16 for max MXU throughput
+    pallas_lowfreq: bool = False  # fused VMEM low-pass kernel (TPU only)
     drop_remainder: bool = True  # fixed-shape epochs for XLA (see data/pipeline.py)
     log_every: int = 1
     image_every: int = 20

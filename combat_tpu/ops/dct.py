@@ -72,15 +72,23 @@ def idct_2d(y: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("Hh,HW,Ww->hw", dh, y, dw)
 
 
-def low_freq(x: jnp.ndarray, image_size: int, ratio: float) -> jnp.ndarray:
+def low_freq(x: jnp.ndarray, image_size: int, ratio: float, use_pallas: bool = False) -> jnp.ndarray:
     """DCT low-pass of a [-1, 1] image batch (NHWC).
 
     Keeps the top-left ``int(image_size * ratio)`` square of DCT-II
     coefficients of the [0, 255]-scaled image and maps back to [-1, 1].
     Parity: reference ``train_generator.py:47-55`` (``low_freq``) — the same
     helper is redefined in every reference entry script.
+
+    ``use_pallas`` routes square batches with a DC-passing cutoff through the
+    fused VMEM kernel (ops/pallas_kernels.py; TPU only) — 1.45x faster
+    standalone, measured-before-wired per SURVEY.md §7.1.6.
     """
     cutoff = int(image_size * ratio)
+    if use_pallas and x.ndim == 4 and x.shape[1] == x.shape[2] == image_size and cutoff >= 1:
+        from .pallas_kernels import low_freq_pallas
+
+        return low_freq_pallas(x, image_size, ratio)
     y = dct_2d((x + 1.0) * 0.5 * 255.0)
     mask_h = (jnp.arange(y.shape[-3]) < cutoff)[:, None, None]
     mask_w = (jnp.arange(y.shape[-2]) < cutoff)[None, :, None]

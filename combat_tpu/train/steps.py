@@ -57,6 +57,7 @@ def _trigger_fn(cfg: Config):
         noise_rate=cfg.noise_rate,
         kernel_size=cfg.kernel_size,
         sigma=cfg.sigma,
+        use_pallas=cfg.pallas_lowfreq,
     )
 
 
