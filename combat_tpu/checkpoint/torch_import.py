@@ -1,0 +1,164 @@
+"""Import reference PyTorch ``.pth.tar`` checkpoints into the Flax trees.
+
+The reference ships trained frequency-detector checkpoints
+(``defenses/frequency_based/checkpoints/{cifar10,celeba}/..._detector.pth.tar``,
+loaded by reference ``train_generator.py:503-512``) and distributes paper
+checkpoints (PreActResNet18 ``netC`` + UnetGenerator ``netG`` state dicts,
+``README.md:101-103``).  This module converts those torch state dicts to the
+rebuild's Flax parameter/batch-stats trees so generator training can run
+against the *reference-trained* detector instead of retraining.
+
+Layout conversions (torch → flax):
+  * Conv2d  ``weight`` (O, I, kH, kW) → ``kernel`` (kH, kW, I, O)
+  * Linear  ``weight`` (O, F) → ``kernel`` (F, O); when the features come
+    from a flattened conv map, the feature axis is additionally permuted
+    CHW → HWC (torch flattens NCHW, our models flatten NHWC).
+  * BatchNorm ``weight/bias`` → params ``scale/bias``;
+    ``running_mean/running_var`` → batch_stats ``mean/var``.
+  * InstanceNorm2d (reference UNets) has no state (affine=False) — skipped.
+
+Requires ``torch`` (CPU build is enough) only inside :func:`load_torch_file`;
+the tree mappers are numpy-only.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+Tree = Dict[str, Any]
+
+
+def load_torch_file(path: str) -> Dict[str, Any]:
+    """``torch.load`` (CPU) → nested dict of numpy arrays / scalars."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+
+    def to_np(v):
+        if isinstance(v, torch.Tensor):
+            return v.detach().cpu().numpy()
+        if isinstance(v, dict):
+            return {k: to_np(x) for k, x in v.items()}
+        return v
+
+    return to_np(raw)
+
+
+def conv_kernel(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def linear_kernel(w: np.ndarray, conv_shape: Optional[Tuple[int, int, int]] = None) -> np.ndarray:
+    """(O, F) → (F, O); ``conv_shape=(C, H, W)`` permutes a flattened-conv
+    feature axis from torch's CHW order to our HWC order."""
+    if conv_shape is not None:
+        c, h, w_ = conv_shape
+        w = w.reshape(w.shape[0], c, h, w_).transpose(0, 2, 3, 1).reshape(w.shape[0], -1)
+    return np.ascontiguousarray(w.T)
+
+
+def _split_bn(sd: Dict[str, np.ndarray], prefix: str) -> Tuple[Tree, Tree]:
+    params = {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+    stats = {"mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]}
+    return params, stats
+
+
+def _conv_entry(sd: Dict[str, np.ndarray], prefix: str, bias: bool = True) -> Tree:
+    e = {"kernel": conv_kernel(sd[f"{prefix}.weight"])}
+    if bias and f"{prefix}.bias" in sd:
+        e["bias"] = sd[f"{prefix}.bias"]
+    return e
+
+
+# ---------------------------------------------------------------------------
+# Frequency detector (reference defenses/frequency_based/model.py:8-52:
+# conv1..conv6 / bn1..bn6 / linear  →  flax conv0..conv5 / bn0..bn5 / linear)
+# ---------------------------------------------------------------------------
+
+
+def convert_frequency_detector(sd: Dict[str, np.ndarray]) -> Tree:
+    """Torch FrequencyModel state dict → ``{"params", "batch_stats"}``."""
+    params: Tree = {}
+    stats: Tree = {}
+    for i in range(6):
+        params[f"conv{i}"] = _conv_entry(sd, f"conv{i + 1}")
+        bn_p, bn_s = _split_bn(sd, f"bn{i + 1}")
+        params[f"bn{i}"] = bn_p
+        stats[f"bn{i}"] = bn_s
+    # the shipped detectors name the head ``linear6`` (reference
+    # defenses/frequency_based/model.py); accept ``linear`` too
+    head = "linear6" if "linear6.weight" in sd else "linear"
+    out_f, in_f = sd[f"{head}.weight"].shape
+    side = int(round((in_f / 128) ** 0.5))  # 32px → 4, 64px → 8
+    params["linear"] = {
+        "kernel": linear_kernel(sd[f"{head}.weight"], conv_shape=(128, side, side)),
+        "bias": sd[f"{head}.bias"],
+    }
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# PreActResNet (reference classifier_models/preact_resnet.py:8-110:
+# conv1 / layer{1..4}.{i}.{bn1,conv1,bn2,conv2,shortcut.0} / linear
+#   →  flax conv1 / layer{1..4}_{i}/{bn1,conv1,bn2,conv2,shortcut} / linear)
+# ---------------------------------------------------------------------------
+
+
+def convert_preact_resnet(sd: Dict[str, np.ndarray]) -> Tree:
+    params: Tree = {"conv1": _conv_entry(sd, "conv1", bias=False)}
+    stats: Tree = {}
+    for stage in range(1, 5):
+        i = 0
+        while f"layer{stage}.{i}.conv1.weight" in sd:
+            name = f"layer{stage}_{i}"
+            p: Tree = {}
+            s: Tree = {}
+            for bn in ("bn1", "bn2", "bn3"):
+                if f"layer{stage}.{i}.{bn}.weight" in sd:
+                    p[bn], s[bn] = _split_bn(sd, f"layer{stage}.{i}.{bn}")
+            for cv in ("conv1", "conv2", "conv3"):
+                if f"layer{stage}.{i}.{cv}.weight" in sd:
+                    p[cv] = _conv_entry(sd, f"layer{stage}.{i}.{cv}", bias=False)
+            if f"layer{stage}.{i}.shortcut.0.weight" in sd:
+                p["shortcut"] = {"kernel": conv_kernel(sd[f"layer{stage}.{i}.shortcut.0.weight"])}
+            params[name] = p
+            stats[name] = s
+            i += 1
+    # final linear sees GAP features (C,) — no flatten permute needed
+    params["linear"] = {"kernel": linear_kernel(sd["linear.weight"]), "bias": sd["linear.bias"]}
+    return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# UNet generator (reference networks/models.py:268-341: conv{s}_{i} encoder +
+# upconv{s}_{i} decoder, InstanceNorms stateless  →  flax enc/... + dec/...)
+# ---------------------------------------------------------------------------
+
+
+def convert_unet_generator(sd: Dict[str, np.ndarray]) -> Tree:
+    enc: Tree = {}
+    dec: Tree = {}
+    for k in sd:
+        if not k.endswith(".weight"):
+            continue
+        mod = k[: -len(".weight")]
+        if mod.startswith("upconv"):
+            dec[mod] = _conv_entry(sd, mod)
+        elif mod.startswith("conv"):
+            enc[mod] = _conv_entry(sd, mod)
+    return {"params": {"enc": enc, "dec": dec}}
+
+
+CONVERTERS = {
+    "frequency": convert_frequency_detector,
+    "preact_resnet": convert_preact_resnet,
+    "unet": convert_unet_generator,
+}
+
+
+def convert_state_dict(kind: str, sd: Dict[str, np.ndarray]) -> Tree:
+    if kind not in CONVERTERS:
+        raise ValueError(f"unknown kind {kind!r}; options: {sorted(CONVERTERS)}")
+    return CONVERTERS[kind](sd)

@@ -98,29 +98,55 @@ def _load_npz(root: str, name: str, train: bool) -> Optional[ArrayDataset]:
     return ArrayDataset(images.astype(np.float32), labels)
 
 
-def synthetic_dataset(cfg: Config, train: bool, n: Optional[int] = None) -> ArrayDataset:
-    """Deterministic, learnable stand-in: per-class low-frequency template +
-    pixel noise. Classifiers reach high accuracy in a few epochs, so attack
-    dynamics (clean acc up, ASR up) are exercised end-to-end without real
-    data. Seeded independently of the model/poison PRNG chain."""
-    if n is None:
-        n = 10000 if train else 2000
-    h, w, c, k = cfg.input_height, cfg.input_width, cfg.input_channel, cfg.num_classes
-    rng = np.random.RandomState(12345 if train else 54321)
-    templates = np.random.RandomState(999).randn(k, h, w, c).astype(np.float32)
-    # smooth the templates so they look image-like (box filter x2)
-    for _ in range(2):
-        templates = (
-            templates
-            + np.roll(templates, 1, axis=1)
-            + np.roll(templates, -1, axis=1)
-            + np.roll(templates, 1, axis=2)
-            + np.roll(templates, -1, axis=2)
+def _smooth(fields: np.ndarray, passes: int = 2) -> np.ndarray:
+    """Box-filter each (.., H, W, C) field ``passes`` times (image-like)."""
+    for _ in range(passes):
+        fields = (
+            fields
+            + np.roll(fields, 1, axis=-3)
+            + np.roll(fields, -1, axis=-3)
+            + np.roll(fields, 1, axis=-2)
+            + np.roll(fields, -1, axis=-2)
         ) / 5.0
-    templates /= np.abs(templates).max(axis=(1, 2, 3), keepdims=True) + 1e-8
+    return fields / (np.abs(fields).max(axis=(-3, -2, -1), keepdims=True) + 1e-8)
+
+
+def synthetic_dataset(cfg: Config, train: bool, n: Optional[int] = None) -> ArrayDataset:
+    """Deterministic CIFAR-hardness stand-in for network-less environments.
+
+    The round-1 version (single template per class + pixel noise) was too
+    easy: classifiers hit 100% train acc with CE≈0, so a poisoned victim
+    never needs the trigger shortcut and ASR stalls — unrepresentative of
+    CIFAR-10 attack dynamics.  This distribution restores the properties the
+    attack relies on: high intra-class diversity (multi-modal classes,
+    per-image shift/flip/amplitude, structured backgrounds) with a class
+    signal weak enough that clean test accuracy lands in the CIFAR-like
+    85–95% band and train CE stays positive.  Split sizes match CIFAR-10
+    (50k/10k).  Seeded independently of the model/poison PRNG chain."""
+    if n is None:
+        n = 50000 if train else 10000
+    h, w, c, k = cfg.input_height, cfg.input_width, cfg.input_channel, cfg.num_classes
+    modes = 4  # class-template modes (multi-modal classes)
+    rng = np.random.RandomState(12345 if train else 54321)
+    templates = _smooth(np.random.RandomState(999).randn(k, modes, h, w, c).astype(np.float32))
+    backgrounds = _smooth(np.random.RandomState(777).randn(64, h, w, c).astype(np.float32))
+
     labels = rng.randint(0, k, size=(n,)).astype(np.int32)
-    noise = rng.randn(n, h, w, c).astype(np.float32) * 0.35
-    images = np.clip(templates[labels] * 0.8 + noise, -1.0, 1.0)
+    mode = rng.randint(0, modes, size=n)
+    base = templates[labels, mode]
+    # per-image geometric variation: circular shift up to ±h/4, random hflip
+    sy = rng.randint(-h // 4, h // 4 + 1, size=n)
+    sx = rng.randint(-w // 4, w // 4 + 1, size=n)
+    row = (np.arange(h)[None, :] - sy[:, None]) % h
+    col = (np.arange(w)[None, :] - sx[:, None]) % w
+    base = base[np.arange(n)[:, None, None], row[:, :, None], col[:, None, :]]
+    flip = rng.rand(n) < 0.5
+    base[flip] = base[flip, :, ::-1]
+    amp = rng.uniform(0.5, 1.0, size=n).astype(np.float32)[:, None, None, None]
+    bg = backgrounds[rng.randint(0, 64, size=n)]
+    bg_amp = rng.uniform(0.2, 0.7, size=n).astype(np.float32)[:, None, None, None]
+    noise = rng.randn(n, h, w, c).astype(np.float32) * 0.25
+    images = np.clip(base * amp + bg * bg_amp + noise, -1.0, 1.0)
     return ArrayDataset(images.astype(np.float32), labels)
 
 

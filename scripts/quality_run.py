@@ -8,13 +8,17 @@ convergence evidence available; on a machine with data, drop the
 ``--synthetic_data`` flag in the CLIs instead.
 """
 
+import os
 import sys
 
 sys.argv = [sys.argv[0]]
 
-EPOCHS_CLEAN = 12
-EPOCHS_GEN = 15
-EPOCHS_VICTIM = 12
+# Full-scale defaults match the reference protocol's 200-epoch stages
+# (reference README.md:88-93); override via env for quick smokes.
+EPOCHS_CLEAN = int(os.environ.get("Q_EPOCHS_CLEAN", 100))
+EPOCHS_GEN = int(os.environ.get("Q_EPOCHS_GEN", 200))
+EPOCHS_VICTIM = int(os.environ.get("Q_EPOCHS_VICTIM", 100))
+PREFIX = os.environ.get("Q_PREFIX", "q")
 
 COMMON = [
     "--dataset", "cifar10", "--synthetic_data", "--bs", "128",
@@ -28,30 +32,30 @@ def main():
     from combat_tpu.config import from_args
 
     print("=== stage 1: clean classifier ===")
-    cfg = from_args(COMMON + ["--n_iters", str(EPOCHS_CLEAN), "--saving_prefix", "q_clean"])
+    cfg = from_args(COMMON + ["--n_iters", str(EPOCHS_CLEAN), "--saving_prefix", PREFIX + "_clean_cls"])
     best_clean = train_clean_classifier.run(cfg)
     print(f"clean classifier best acc: {best_clean:.2f}")
 
     print("=== stage 2: alternated generator ===")
     cfg = from_args(COMMON + [
-        "--n_iters", str(EPOCHS_GEN), "--saving_prefix", "q_atk",
-        "--load_checkpoint_clean", "q_clean", "--pc", "0.5", "--noise_rate", "0.08",
+        "--n_iters", str(EPOCHS_GEN), "--saving_prefix", PREFIX + "_atk",
+        "--load_checkpoint_clean", PREFIX + "_clean_cls", "--pc", "0.5", "--noise_rate", "0.08",
     ])
     best = train_generator.run(cfg)
     print("generator best:", {k: round(v, 2) for k, v in best.items()})
 
     print("=== stage 3: victim ===")
     cfg = from_args(COMMON + [
-        "--n_iters", str(EPOCHS_VICTIM), "--saving_prefix", "q_victim",
-        "--load_checkpoint", "q_atk_clean", "--pc", "0.5", "--noise_rate", "0.08",
+        "--n_iters", str(EPOCHS_VICTIM), "--saving_prefix", PREFIX + "_victim",
+        "--load_checkpoint", PREFIX + "_atk_clean", "--pc", "0.5", "--noise_rate", "0.08",
     ])
     vbest = train_victim.run(cfg)
     print(f"victim best clean {vbest['best_clean_acc']:.2f} / bd {vbest['best_bd_acc']:.2f}")
 
     print("=== stage 4: final eval ===")
     cfg = from_args(COMMON + [
-        "--saving_prefix", "q_eval", "--load_checkpoint", "q_atk_clean",
-        "--load_checkpoint_clean", "q_victim_clean", "--noise_rate", "0.08",
+        "--saving_prefix", PREFIX + "_eval", "--load_checkpoint", PREFIX + "_atk_clean",
+        "--load_checkpoint_clean", PREFIX + "_victim_clean", "--noise_rate", "0.08",
     ])
     acc, ba, asr = eval_cli.run(cfg)
     print(f"FINAL: Clean Acc {acc:.2f} | Bd BA {ba:.2f} | Bd ASR {asr:.2f}")

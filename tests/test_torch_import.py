@@ -1,0 +1,202 @@
+"""torch→Flax checkpoint import: name-mapping round-trips verified by output
+parity between a torch module (reference state-dict naming) and the Flax
+model loaded with the converted tree.
+
+Covers the three reference checkpoint families (VERDICT round-1 item 4):
+  * frequency detector (reference ``defenses/frequency_based/model.py:8-52``),
+    including the shipped real checkpoint when /root/reference is mounted
+    (``train_generator.py:503-512`` loads it);
+  * PreActResNet18 (``classifier_models/preact_resnet.py:8-110``);
+  * UNet generator (``networks/models.py:268-341``).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+import torch.nn.functional as TF  # noqa: E402
+
+from combat_tpu.checkpoint.torch_import import (  # noqa: E402
+    convert_frequency_detector,
+    convert_preact_resnet,
+    convert_unet_generator,
+    load_torch_file,
+)
+
+SHIPPED_DETECTOR = (
+    "/root/reference/defenses/frequency_based/checkpoints/cifar10/cifar10_original_detector.pth.tar"
+)
+
+
+# --- torch twins with the reference's state-dict naming (fresh test code) ---
+
+
+class TorchFrequencyModel(nn.Module):
+    """conv1..conv6 / bn1..bn6 / linear, ELU before BN, NCHW flatten."""
+
+    def __init__(self, img: int = 32):
+        super().__init__()
+        cin = 3
+        for i, planes in enumerate((32, 32, 64, 64, 128, 128), start=1):
+            setattr(self, f"conv{i}", nn.Conv2d(cin, planes, 3, 1, 1))
+            setattr(self, f"bn{i}", nn.BatchNorm2d(planes))
+            cin = planes
+        self.linear = nn.Linear(128 * (img // 8) ** 2, 2)
+
+    def forward(self, x):
+        for i in range(1, 7):
+            x = getattr(self, f"bn{i}")(TF.elu(getattr(self, f"conv{i}")(x)))
+            if i % 2 == 0:
+                x = TF.max_pool2d(x, 2)
+        return self.linear(x.flatten(1))
+
+
+class TorchPreActBlock(nn.Module):
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        self.bn1 = nn.BatchNorm2d(cin)
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        if stride != 1 or cin != cout:
+            self.shortcut = nn.Sequential(nn.Conv2d(cin, cout, 1, stride, bias=False))
+
+    def forward(self, x):
+        out = TF.relu(self.bn1(x))
+        sc = self.shortcut(out) if hasattr(self, "shortcut") else x
+        out = self.conv2(TF.relu(self.bn2(self.conv1(out))))
+        return out + sc
+
+
+class TorchPreActResNet18(nn.Module):
+    def __init__(self, num_classes=10):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 3, 1, 1, bias=False)
+        cin = 64
+        for stage, (cout, stride) in enumerate(((64, 1), (128, 2), (256, 2), (512, 2)), start=1):
+            blocks = [TorchPreActBlock(cin, cout, stride), TorchPreActBlock(cout, cout, 1)]
+            setattr(self, f"layer{stage}", nn.Sequential(*blocks))
+            cin = cout
+        self.linear = nn.Linear(512, num_classes)
+
+    def forward(self, x):
+        h = self.conv1(x)
+        for stage in range(1, 5):
+            h = getattr(self, f"layer{stage}")(h)
+        return self.linear(TF.avg_pool2d(h, 4).flatten(1))
+
+
+class TorchUnet(nn.Module):
+    def __init__(self, nf=64):
+        super().__init__()
+        chans = {0: (3, nf), 1: (nf, nf * 2), 2: (nf * 2, nf * 4), 3: (nf * 4, nf * 8)}
+        for s, (ci, co) in chans.items():
+            setattr(self, f"conv{s}_0", nn.Conv2d(ci, co, 3, 2, 1))
+            setattr(self, f"conv{s}_1", nn.Conv2d(co, co, 3, 1, 1))
+        ups = {3: (nf * 8, nf * 4), 2: (nf * 4, nf * 2), 1: (nf * 2, nf), 0: (nf, 3)}
+        for s, (ci, co) in ups.items():
+            setattr(self, f"upconv{s}_1", nn.Conv2d(ci, ci, 3, 1, 1))
+            setattr(self, f"upconv{s}_0", nn.Conv2d(ci, co, 3, 1, 1))
+
+    def forward(self, x):
+        a = lambda t: TF.leaky_relu(t, 0.2)  # noqa: E731
+        up = lambda t: TF.interpolate(t, scale_factor=2, mode="bilinear")  # noqa: E731
+        inorm = lambda t: TF.instance_norm(t)  # noqa: E731
+        f0 = inorm(self.conv0_1(a(self.conv0_0(x))))
+        f1 = inorm(self.conv1_1(a(inorm(self.conv1_0(a(f0))))))
+        f2 = inorm(self.conv2_1(a(inorm(self.conv2_0(a(f1))))))
+        f3 = inorm(self.conv3_1(a(inorm(self.conv3_0(a(f2))))))
+        u3 = inorm(self.upconv3_0(a(inorm(self.upconv3_1(a(up(f3))))))) + f2
+        u2 = inorm(self.upconv2_0(a(inorm(self.upconv2_1(a(up(u3))))))) + f1
+        u1 = inorm(self.upconv1_0(a(inorm(self.upconv1_1(a(up(u2))))))) + f0
+        return torch.tanh(self.upconv0_0(a(inorm(self.upconv0_1(a(up(u1)))))))
+
+
+def _np_sd(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+def _randomize_bn_stats(model, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    for m in model.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.2)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+
+
+def test_frequency_detector_import_parity():
+    from combat_tpu.models.frequency import FrequencyModel
+
+    tm = TorchFrequencyModel().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tm)
+    tree = convert_frequency_detector(_np_sd(tm))
+    x = np.random.RandomState(0).randn(4, 3, 32, 32).astype(np.float32) * 50
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    got = FrequencyModel().apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-3, rtol=1e-4)
+
+
+def test_preact_resnet_import_parity():
+    from combat_tpu.models.preact_resnet import preact_resnet18
+
+    tm = TorchPreActResNet18().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(tm)
+    tree = convert_preact_resnet(_np_sd(tm))
+    x = np.random.RandomState(1).randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    got = preact_resnet18().apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=1e-4)
+
+
+def test_unet_generator_import_parity():
+    from combat_tpu.models.generators import UnetGenerator
+
+    tm = TorchUnet().eval()
+    tree = convert_unet_generator(_np_sd(tm))
+    x = np.random.RandomState(2).randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    got = UnetGenerator().apply({"params": tree["params"]}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), ref.transpose(0, 2, 3, 1), atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.skipif(not os.path.exists(SHIPPED_DETECTOR), reason="reference checkpoint not mounted")
+def test_shipped_cifar10_detector_import():
+    """Real shipped weights: convert, then verify torch/Flax output parity on
+    DCT features of random uint8 images (the detector's input domain)."""
+    from combat_tpu.models.frequency import FrequencyModel
+    from combat_tpu.ops.dct import detector_features
+
+    raw = load_torch_file(SHIPPED_DETECTOR)
+    tree = convert_frequency_detector(raw["netC"])
+    tm = TorchFrequencyModel().eval()
+    sd = {k.replace("linear6.", "linear."): torch.from_numpy(np.array(v))
+          for k, v in raw["netC"].items() if "num_batches_tracked" not in k}
+    missing, unexpected = tm.load_state_dict(sd, strict=False)
+    assert not missing and not unexpected
+
+    x = jnp.asarray(np.random.RandomState(3).uniform(-1, 1, (8, 32, 32, 3)).astype(np.float32))
+    feats = detector_features(x)  # NHWC DCT of the uint8-cast image
+    got = FrequencyModel().apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"]}, feats, train=False
+    )
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(np.asarray(feats).transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(got), ref, atol=5e-3, rtol=1e-3)
