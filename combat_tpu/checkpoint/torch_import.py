@@ -151,10 +151,56 @@ def convert_unet_generator(sd: Dict[str, np.ndarray]) -> Tree:
     return {"params": {"enc": enc, "dec": dec}}
 
 
+# ---------------------------------------------------------------------------
+# timm VisionTransformer (the reference's ``vit_small`` factory,
+# eval.py:24-40) → models/vit.py:VisionTransformer
+# ---------------------------------------------------------------------------
+
+
+def _ln(sd: Dict[str, np.ndarray], prefix: str) -> Tree:
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _dense(sd: Dict[str, np.ndarray], prefix: str) -> Tree:
+    e = {"kernel": np.ascontiguousarray(sd[f"{prefix}.weight"].T)}
+    if f"{prefix}.bias" in sd:
+        e["bias"] = sd[f"{prefix}.bias"]
+    return e
+
+
+def convert_timm_vit(sd: Dict[str, np.ndarray]) -> Tree:
+    """timm ``VisionTransformer`` state dict (patch_embed.proj / cls_token /
+    pos_embed / blocks.N.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2} /
+    norm / head) → our ``VisionTransformer`` tree."""
+    params: Tree = {
+        "patch_embed": {
+            "kernel": conv_kernel(sd["patch_embed.proj.weight"]),
+            "bias": sd["patch_embed.proj.bias"],
+        },
+        "cls_token": sd["cls_token"],
+        "pos_embed": sd["pos_embed"],
+        "final_norm": _ln(sd, "norm"),
+        "head": _dense(sd, "head"),
+    }
+    i = 0
+    while f"blocks.{i}.norm1.weight" in sd:
+        params[f"block{i}"] = {
+            "norm1": _ln(sd, f"blocks.{i}.norm1"),
+            "qkv": _dense(sd, f"blocks.{i}.attn.qkv"),
+            "proj": _dense(sd, f"blocks.{i}.attn.proj"),
+            "norm2": _ln(sd, f"blocks.{i}.norm2"),
+            "fc1": _dense(sd, f"blocks.{i}.mlp.fc1"),
+            "fc2": _dense(sd, f"blocks.{i}.mlp.fc2"),
+        }
+        i += 1
+    return {"params": params}
+
+
 CONVERTERS = {
     "frequency": convert_frequency_detector,
     "preact_resnet": convert_preact_resnet,
     "unet": convert_unet_generator,
+    "timm_vit": convert_timm_vit,
 }
 
 

@@ -29,7 +29,8 @@ from ..train import (
     train_epoch_alternated,
 )
 from ..train.loop import train_epoch_alternated_pair
-from ..utils import MetricsLogger, Timer
+from ..attack.triggers import additive_trigger
+from ..utils import MetricsLogger, Timer, profile_epoch
 from .common import build_mesh, device_dataset, fmt_pct, ref_ckpt_path, setup_run_dirs, steps_per_epoch
 
 BASE_BEST_KEYS = (
@@ -88,7 +89,8 @@ def run_alternated(cfg: Config, spec: AlternatedSpec):
     # frozen frequency detector (reference train_generator.py:503-512)
     f_ckpt = os.path.join(cfg.F_checkpoints, cfg.dataset, cfg.F_model, f"{cfg.dataset}_{cfg.F_model}_detector.ckpt")
     print(f"Loading {cfg.F_model} at {f_ckpt}")
-    if os.path.exists(f_ckpt):
+    f_detector_loaded = os.path.exists(f_ckpt)
+    if f_detector_loaded:
         payload = load_checkpoint(f_ckpt)
         netF = netF.replace(
             params=jax.tree.map(jnp.asarray, payload["netC"]["params"]),
@@ -96,8 +98,12 @@ def run_alternated(cfg: Config, spec: AlternatedSpec):
         )
         print("Done")
     else:
+        # Recorded in the JSONL log and the checkpoint so a random-init
+        # detector can't silently masquerade as a meaningful F Acc
+        # (train one with defenses/frequency_train.py or convert the shipped
+        # reference detector with scripts/import_torch_ckpt.py).
         print(f"WARNING: frequency-detector checkpoint not found at {f_ckpt}; "
-              "F Acc metrics will be meaningless (train one with combat_tpu.defenses.frequency).")
+              "F Acc metrics will be meaningless (random-init detector).")
 
     # frozen clean model (reference train_generator.py:514-527)
     if not cfg.load_checkpoint_clean:
@@ -138,6 +144,7 @@ def run_alternated(cfg: Config, spec: AlternatedSpec):
             "clean_model": {"params": clean_model.params, "batch_stats": clean_model.batch_stats},
             **best,
             **extra,
+            "F_detector_loaded": f_detector_loaded,
             "epoch_current": epoch,
         }
 
@@ -165,6 +172,7 @@ def run_alternated(cfg: Config, spec: AlternatedSpec):
         log_dir = setup_run_dirs(cfg, ckpt_folder, fresh=True)
 
     logger = MetricsLogger(log_dir)
+    logger.log(epoch_current, {"F_detector_loaded": int(f_detector_loaded)}, group="meta")
     train_step = spec.make_train_step(cfg, C, G)
     eval_step = spec.make_eval_step(cfg, C, G)
     eidx, evalid = padded_eval_batches(len(tds), cfg.bs)
@@ -173,7 +181,7 @@ def run_alternated(cfg: Config, spec: AlternatedSpec):
 
     with mesh:
         for epoch in range(epoch_current, cfg.n_iters):
-            with Timer() as t:
+            with Timer() as t, profile_epoch(cfg.profile_dir, epoch, epoch_current):
                 stateC, stateG, m = epoch_runner(
                     train_step, stateC, stateG, clean_model, netF, imgs, labs,
                     jax.random.fold_in(k_run, epoch), cfg.bs,
@@ -222,6 +230,26 @@ def run_alternated(cfg: Config, spec: AlternatedSpec):
                 scalars["Cross"] = cross
             print(eval_line)
             logger.log(epoch, scalars, group="test")
+
+            if cfg.image_every and epoch % cfg.image_every == 0:
+                # clean-vs-triggered grid, stacked along H like the reference's
+                # ``cat([inputs, inputs_bd], dim=2)`` (train_generator.py:310-315)
+                xb = timgs[:16]
+                kimg = jax.random.fold_in(k_run, 20_000_000 + epoch)
+                if spec.generator_kind == "grid":
+                    from ..attack.triggers import warp_trigger
+
+                    flow = G.apply({"params": stateG.params}, xb)
+                    x_bd = warp_trigger(xb, flow, grid_rescale=cfg.grid_rescale)
+                else:
+                    g_args = (jnp.full((xb.shape[0],), cfg.target_label),) if spec.conditional else ()
+                    noise = G.apply({"params": stateG.params}, xb, *g_args)
+                    x_bd = additive_trigger(
+                        kimg, xb, noise,
+                        image_size=cfg.input_height, ratio=cfg.ratio, noise_rate=cfg.noise_rate,
+                        kernel_size=cfg.kernel_size, sigma=cfg.sigma,
+                    )
+                logger.log_images(epoch, jnp.concatenate([xb, x_bd], axis=1))
 
             if best_gate_attack(acc_clean, acc_bd, best["best_clean_acc"], best["best_bd_acc"]):
                 print(" Saving...")

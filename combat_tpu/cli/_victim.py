@@ -27,7 +27,7 @@ from ..train import (
     sgd_torch,
     train_epoch_classifier,
 )
-from ..utils import MetricsLogger, Timer
+from ..utils import MetricsLogger, Timer, profile_epoch
 from .common import build_mesh, device_dataset, fmt_pct, ref_ckpt_path, setup_run_dirs, steps_per_epoch
 
 
@@ -117,7 +117,7 @@ def run_victim(cfg: Config, spec: VictimSpec):
 
     with mesh:
         for epoch in range(epoch_current, cfg.n_iters):
-            with Timer() as t:
+            with Timer() as t, profile_epoch(cfg.profile_dir, epoch, epoch_current):
                 stateC, m = train_epoch_classifier(
                     train_step, stateC, paramsG, imgs, labs, poisoned,
                     jax.random.fold_in(k_run, epoch), cfg.bs, has_poison=True,

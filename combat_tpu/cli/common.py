@@ -37,9 +37,32 @@ def device_dataset(cfg: Config, mesh, train: bool) -> Tuple[jnp.ndarray, jnp.nda
     return images, labels, ds
 
 
+def distributed_init_kwargs(cfg: Config) -> Optional[dict]:
+    """kwargs for ``jax.distributed.initialize`` (None = single-process).
+
+    On TPU pod slices the empty-kwargs form auto-detects coordinator and
+    process topology from the TPU metadata; the explicit flags cover manual
+    bring-up (e.g. DCN between CPU hosts).  Split out from :func:`build_mesh`
+    so the decision logic is unit-testable without multiple processes."""
+    if not cfg.multihost:
+        return None
+    kw: dict = {}
+    if cfg.coordinator_address:
+        kw["coordinator_address"] = cfg.coordinator_address
+    if cfg.num_processes >= 0:
+        kw["num_processes"] = cfg.num_processes
+    if cfg.process_id >= 0:
+        kw["process_id"] = cfg.process_id
+    return kw
+
+
 def build_mesh(cfg: Config):
     from ..models.layers import set_compute_dtype
 
+    kw = distributed_init_kwargs(cfg)
+    if kw is not None:
+        jax.distributed.initialize(**kw)
+        print(f"[{BANNER}] multi-host: process {jax.process_index()}/{jax.process_count()}")
     set_compute_dtype(cfg.compute_dtype)
     mesh = make_mesh(cfg.n_devices, cfg.dp_axis)
     print(f"[{BANNER}] mesh: {mesh.devices.size} device(s) on axis {mesh.axis_names!r}: "

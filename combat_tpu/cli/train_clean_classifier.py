@@ -36,7 +36,7 @@ from ..train import (
     sgd_torch,
     train_epoch_classifier,
 )
-from ..utils import MetricsLogger, Timer
+from ..utils import MetricsLogger, Timer, profile_epoch
 from .common import build_mesh, device_dataset, fmt_pct, setup_run_dirs, steps_per_epoch
 
 
@@ -93,7 +93,7 @@ def run(cfg: Config) -> float:
 
     with mesh:
         for epoch in range(epoch_current, cfg.n_iters):
-            with Timer() as t:
+            with Timer() as t, profile_epoch(cfg.profile_dir, epoch, epoch_current):
                 stateC, m = train_epoch_classifier(
                     train_step, stateC, None, imgs, labs, None,
                     jax.random.fold_in(k_run, epoch), cfg.bs,

@@ -105,11 +105,18 @@ class Config:
     seed: int = 0
     dp_axis: str = "data"  # mesh axis name for data parallelism
     n_devices: int = 0  # 0 = all visible devices
+    # multi-host (DCN) pod slices: jax.distributed.initialize before device use.
+    # Defaults auto-detect on TPU pods; set coordinator/process flags for
+    # manual bring-up (SURVEY.md §2.4 distributed-backend row).
+    multihost: bool = False
+    coordinator_address: str = ""
+    process_id: int = -1
+    num_processes: int = -1
     compute_dtype: str = "float32"  # bfloat16 for max MXU throughput
     pallas_lowfreq: bool = False  # fused VMEM low-pass kernel (TPU only)
-    drop_remainder: bool = True  # fixed-shape epochs for XLA (see data/pipeline.py)
+    profile_dir: str = ""  # non-empty: jax.profiler trace of one post-compile epoch
     log_every: int = 1
-    image_every: int = 20
+    image_every: int = 20  # clean-vs-triggered image grid cadence (train_generator.py:310-315)
     synthetic_data: bool = False  # deterministic synthetic dataset (no-network envs)
 
     def replace(self, **kw) -> "Config":

@@ -134,6 +134,15 @@ def synthetic_dataset(cfg: Config, train: bool, n: Optional[int] = None) -> Arra
     labels = rng.randint(0, k, size=(n,)).astype(np.int32)
     mode = rng.randint(0, modes, size=n)
     base = templates[labels, mode]
+    # class ambiguity: a fraction of images blend in a *different* class's
+    # template.  This keeps per-example CE positive at convergence (like
+    # CIFAR's hard examples) — the gradient pressure that makes a poisoned
+    # victim absorb the trigger shortcut; without it classifiers zero out
+    # the loss from content alone and ASR stalls (observed in rounds 1-2).
+    confuse = rng.rand(n) < 0.3
+    other = (labels + rng.randint(1, k, size=n)) % k
+    blend = rng.uniform(0.35, 0.75, size=n).astype(np.float32)[:, None, None, None]
+    base = np.where(confuse[:, None, None, None], base * (1 - blend) + templates[other, mode] * blend, base)
     # per-image geometric variation: circular shift up to ±h/4, random hflip
     sy = rng.randint(-h // 4, h // 4 + 1, size=n)
     sx = rng.randint(-w // 4, w // 4 + 1, size=n)
@@ -142,10 +151,10 @@ def synthetic_dataset(cfg: Config, train: bool, n: Optional[int] = None) -> Arra
     base = base[np.arange(n)[:, None, None], row[:, :, None], col[:, None, :]]
     flip = rng.rand(n) < 0.5
     base[flip] = base[flip, :, ::-1]
-    amp = rng.uniform(0.5, 1.0, size=n).astype(np.float32)[:, None, None, None]
+    amp = rng.uniform(0.4, 0.85, size=n).astype(np.float32)[:, None, None, None]
     bg = backgrounds[rng.randint(0, 64, size=n)]
-    bg_amp = rng.uniform(0.2, 0.7, size=n).astype(np.float32)[:, None, None, None]
-    noise = rng.randn(n, h, w, c).astype(np.float32) * 0.25
+    bg_amp = rng.uniform(0.25, 0.8, size=n).astype(np.float32)[:, None, None, None]
+    noise = rng.randn(n, h, w, c).astype(np.float32) * 0.3
     images = np.clip(base * amp + bg * bg_amp + noise, -1.0, 1.0)
     return ArrayDataset(images.astype(np.float32), labels)
 

@@ -7,7 +7,7 @@ each image gets a poisoned twin via one of 5 random corruptions
 (albumentations GaussNoise mean=25 var∈[10,70], ``:49-53``), random shadow
 (``:56-61``), or 0.3-blend with another train image; clean=0/poisoned=1
 labels; per-channel DCT-II of the uint8-cast image (``:195-197``); Adadelta
-lr 0.05 wd 1e-4 for the原 "original" backbone, Adam lr 0.02 for the
+lr 0.05 wd 1e-4 for the "original" backbone, Adam lr 0.02 for the
 alternatives (``get_model:146-175``); best-acc checkpoint
 ``checkpoints/<dataset>/<model>/<dataset>_<model>_detector`` (``:310-311``).
 And ``test.py:67-108`` — detector accuracy + detection rate on

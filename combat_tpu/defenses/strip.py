@@ -73,12 +73,17 @@ def main(argv=None):
     parser.add_argument("--detection_boundary", type=float, default=0.2)
     parser.add_argument("--test_rounds", type=int, default=10)
     parser.add_argument("--results", type=str, default="./results")
+    # The reference STRIP config carries a separate attack/clean switch
+    # (``defenses/STRIP/config.py``: ``--attack_mode attack|clean``, consumed
+    # at ``STRIP.py:161-192``) distinct from the root config's
+    # all2one/all2all; an explicit flag keeps the benign baseline reachable.
+    parser.add_argument("--strip_mode", choices=["attack", "clean"], default="attack")
     ns = parser.parse_args(argv)
     extra = {k: getattr(ns, k) for k in ("n_sample", "n_test", "detection_boundary", "test_rounds", "results")}
     cfg = apply_dataset_preset(Config(**{k: v for k, v in vars(ns).items() if k in Config.__dataclass_fields__}))
 
     build_mesh(cfg)
-    mode = "attack" if "2" in cfg.attack_mode else "clean"
+    mode = ns.strip_mode
     print(mode)
 
     C = get_classifier(cfg)

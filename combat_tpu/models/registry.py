@@ -31,7 +31,7 @@ from .preact_resnet import (
 )
 from .resnet import ResNet, resnet18, resnet34, resnet50, resnet101, resnet152
 from .vgg import VGG, vgg
-from .vit import SimpleViT
+from .vit import SimpleViT, VisionTransformer
 
 # --model overrides (reference C_MAPPING_NAMES, train_generator.py:27-32)
 CLASSIFIERS = {
@@ -52,9 +52,12 @@ CLASSIFIERS = {
     "simplevitsmall8": lambda num_classes, input_size=32, **kw: SimpleViT(
         image_size=input_size, patch_size=8, num_classes=num_classes, dim=384, depth=12, heads=6, mlp_dim=384 * 4
     ),
-    # timm vit_small adapter (reference eval.py:24-47): patch4 for 32px.
-    "vitsmall": lambda num_classes, input_size=32, **kw: SimpleViT(
-        image_size=input_size, patch_size=4, num_classes=num_classes, dim=384, depth=12, heads=6, mlp_dim=384 * 4
+    # timm vit_small (reference eval.py:24-40: ViT-S/16 geometry at
+    # patch_size=input_size//16, embed 384, depth 12, heads 6); timm
+    # state dicts import via torch_import.convert_timm_vit.
+    "vitsmall": lambda num_classes, input_size=32, **kw: VisionTransformer(
+        image_size=input_size, patch_size=max(1, input_size // 16), num_classes=num_classes,
+        dim=384, depth=12, heads=6,
     ),
 }
 

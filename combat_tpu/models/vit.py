@@ -59,6 +59,69 @@ class FeedForward(nn.Module):
         return nn.Dense(dim, name="fc2")(x)
 
 
+class TimmBlock(nn.Module):
+    """Pre-norm transformer block with timm's parameterization (qkv bias,
+    projection bias, GELU MLP)."""
+
+    heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        head_dim = dim // self.heads
+        h = nn.LayerNorm(name="norm1")(x)
+        qkv = nn.Dense(dim * 3, name="qkv")(h)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_split(t):
+            return t.reshape(t.shape[0], t.shape[1], self.heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = map(heads_split, (q, k, v))
+        attn = nn.softmax(jnp.einsum("bhid,bhjd->bhij", q, k) * (head_dim**-0.5), axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], dim)
+        x = x + nn.Dense(dim, name="proj")(out)
+        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.gelu(nn.Dense(int(dim * self.mlp_ratio), name="fc1")(h), approximate=False)
+        return x + nn.Dense(dim, name="fc2")(h)
+
+
+class VisionTransformer(nn.Module):
+    """timm-semantics ViT: conv patch embed, CLS token, learned position
+    embedding, pre-norm blocks, CLS head.  Matches the reference's
+    ``vit_small`` factory (reference ``eval.py:24-40``:
+    ``_create_vision_transformer('vit_small_patch16_224', pretrained=False,
+    img_size=32, patch_size=2, embed_dim=384, depth=12, num_heads=6)``) so a
+    timm state dict imports directly
+    (``combat_tpu.checkpoint.torch_import.convert_timm_vit``)."""
+
+    image_size: int = 32
+    patch_size: int = 2
+    num_classes: int = 10
+    dim: int = 384
+    depth: int = 12
+    heads: int = 6
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.patch_size
+        n = x.shape[0]
+        x = nn.Conv(self.dim, (p, p), strides=(p, p), padding="VALID", name="patch_embed")(x)
+        x = x.reshape(n, -1, self.dim)
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, self.dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (n, 1, self.dim)), x], axis=1)
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1, x.shape[1], self.dim)
+        )
+        x = x + pos
+        for i in range(self.depth):
+            x = TimmBlock(self.heads, self.mlp_ratio, name=f"block{i}")(x)
+        x = nn.LayerNorm(name="final_norm")(x)
+        return nn.Dense(self.num_classes, name="head")(x[:, 0])
+
+
 class SimpleViT(nn.Module):
     image_size: int = 32
     patch_size: int = 4

@@ -8,7 +8,7 @@ epoch, vs the reference's per-batch ``progress_bar`` scalar syncs at
 index matrix is sharded, which shards every activation downstream; params are
 replicated and GSPMD inserts the gradient ``psum`` over ICI (train/mesh.py).
 
-Remainder policy: epochs use ``drop_remainder`` (fixed shapes for XLA); the
+Remainder policy: training epochs drop the ragged tail batch (fixed shapes for XLA); the
 reference trains on the ragged tail batch too (DataLoader drop_last=False) —
 a documented, statistically immaterial divergence (shuffling re-draws the
 dropped rows every epoch).  Eval pads to a full batch with a validity mask,

@@ -1,3 +1,3 @@
-from .logging import MetricsLogger, Timer
+from .logging import MetricsLogger, Timer, profile_epoch
 
-__all__ = ["MetricsLogger", "Timer"]
+__all__ = ["MetricsLogger", "Timer", "profile_epoch"]

@@ -1,0 +1,92 @@
+"""Data-ingestion tooling (scripts/make_npz.py) on tiny fixtures, through to
+the data layer's npz loader (combat_tpu/data/datasets.py)."""
+
+import os
+import struct
+import sys
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+import make_npz  # noqa: E402
+
+from combat_tpu.config import Config, apply_dataset_preset  # noqa: E402
+from combat_tpu.data import get_dataset  # noqa: E402
+
+
+def _write_png(path, seed, size=40):
+    rng = np.random.RandomState(seed)
+    Image.fromarray(rng.randint(0, 255, (size, size, 3), dtype=np.uint8)).save(path)
+
+
+def test_folder_layout_resize_and_loader(tmp_path):
+    src = tmp_path / "train"
+    for ci, cname in enumerate(["ants", "bees", "cats"]):
+        (src / cname).mkdir(parents=True)
+        for j in range(2):
+            _write_png(str(src / cname / f"img{j}.png"), seed=ci * 10 + j)
+    out = tmp_path / "data" / "imagenet10_train.npz"
+    make_npz.main(["folder", "--src", str(src), "--out", str(out), "--size", "32"])
+
+    d = np.load(out)
+    assert d["images"].shape == (6, 32, 32, 3) and d["images"].dtype == np.uint8
+    # classes sorted by name (torchvision ImageFolder semantics)
+    np.testing.assert_array_equal(d["labels"], [0, 0, 1, 1, 2, 2])
+
+    cfg = apply_dataset_preset(Config(dataset="imagenet10", data_root=str(tmp_path / "data")))
+    ds = get_dataset(cfg, train=True)
+    assert ds.images.shape == (6, 32, 32, 3)
+    assert ds.images.min() >= -1.0 and ds.images.max() <= 1.0
+
+
+def test_celeba_attrs_to_8_classes(tmp_path):
+    src = tmp_path / "celeba"
+    (src / "img_align_celeba").mkdir(parents=True)
+    names = ["000001.jpg", "000002.jpg", "000003.jpg"]
+    for i, n in enumerate(names):
+        _write_png(str(src / "img_align_celeba" / n), seed=i)
+    # attrs [18, 31, 21] = (Heavy_Makeup, Smiling, Mouth_Slightly_Open)
+    rows = []
+    for i, n in enumerate(names):
+        attrs = ["-1"] * 40
+        attrs[18], attrs[31], attrs[21] = ("1", "-1", "1") if i == 0 else ("-1", "1", "-1")
+        rows.append(n + " " + " ".join(attrs))
+    (src / "list_attr_celeba.txt").write_text("3\n" + " ".join(f"a{i}" for i in range(40)) + "\n" + "\n".join(rows) + "\n")
+    (src / "list_eval_partition.txt").write_text("\n".join(f"{n} 0" for n in names) + "\n")
+
+    out = tmp_path / "data" / "celeba_train.npz"
+    make_npz.main(["celeba", "--src", str(src), "--split", "train", "--out", str(out), "--size", "64"])
+    d = np.load(out)
+    assert d["images"].shape == (3, 64, 64, 3)
+    assert d["labels"].shape == (3, 40)  # raw attr matrix
+
+    cfg = apply_dataset_preset(Config(dataset="celeba", data_root=str(tmp_path / "data")))
+    ds = get_dataset(cfg, train=True)
+    # (1<<2) + (0<<1) + 1 = 5 for row 0; (0<<2)+(1<<1)+0 = 2 for rows 1,2
+    np.testing.assert_array_equal(ds.labels, [5, 2, 2])
+
+
+def test_mnist_idx_files(tmp_path):
+    src = tmp_path / "mnist"
+    src.mkdir()
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 255, (5, 28, 28), dtype=np.uint8)
+    labs = np.arange(5, dtype=np.uint8)
+    with open(src / "train-images-idx3-ubyte", "wb") as f:
+        f.write(struct.pack(">HBB3I", 0, 8, 3, 5, 28, 28) + imgs.tobytes())
+    with open(src / "train-labels-idx1-ubyte", "wb") as f:
+        f.write(struct.pack(">HBB1I", 0, 8, 1, 5) + labs.tobytes())
+
+    out = tmp_path / "data" / "mnist_train.npz"
+    make_npz.main(["mnist", "--src", str(src), "--split", "train", "--out", str(out)])
+    d = np.load(out)
+    assert d["images"].shape == (5, 28, 28, 1)
+    np.testing.assert_array_equal(d["labels"], labs)
+
+    cfg = apply_dataset_preset(Config(dataset="mnist", data_root=str(tmp_path / "data")))
+    ds = get_dataset(cfg, train=True)
+    assert ds.images.shape == (5, 28, 28, 1)

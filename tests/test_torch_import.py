@@ -117,6 +117,53 @@ class TorchUnet(nn.Module):
         return torch.tanh(self.upconv0_0(a(inorm(self.upconv0_1(a(up(u1)))))))
 
 
+class TorchTimmBlock(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.heads = heads
+        self.norm1 = nn.LayerNorm(dim)
+        self.norm2 = nn.LayerNorm(dim)
+        # timm nests qkv/proj under .attn and fc1/fc2 under .mlp
+        self.attn = nn.Module()
+        self.attn.qkv = nn.Linear(dim, dim * 3)
+        self.attn.proj = nn.Linear(dim, dim)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, dim * 4)
+        self.mlp.fc2 = nn.Linear(dim * 4, dim)
+
+    def forward(self, x):
+        b, n, d = x.shape
+        hd = d // self.heads
+        qkv = self.attn.qkv(self.norm1(x)).reshape(b, n, 3, self.heads, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        a = torch.softmax(q @ k.transpose(-2, -1) * hd**-0.5, dim=-1)
+        out = (a @ v).transpose(1, 2).reshape(b, n, d)
+        x = x + self.attn.proj(out)
+        return x + self.mlp.fc2(TF.gelu(self.mlp.fc1(self.norm2(x))))
+
+
+class TorchTimmViT(nn.Module):
+    """Minimal twin of timm's VisionTransformer with its state-dict naming."""
+
+    def __init__(self, img=32, patch=2, dim=96, depth=2, heads=3, num_classes=10):
+        super().__init__()
+        n_patches = (img // patch) ** 2
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, patch, patch)
+        self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.pos_embed = nn.Parameter(torch.randn(1, n_patches + 1, dim) * 0.02)
+        self.blocks = nn.Sequential(*[TorchTimmBlock(dim, heads) for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim)
+        self.head = nn.Linear(dim, num_classes)
+
+    def forward(self, x):
+        b = x.shape[0]
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        x = torch.cat([self.cls_token.expand(b, -1, -1), x], dim=1) + self.pos_embed
+        x = self.blocks(x)
+        return self.head(self.norm(x)[:, 0])
+
+
 def _np_sd(model):
     return {k: v.detach().numpy() for k, v in model.state_dict().items()}
 
@@ -175,6 +222,21 @@ def test_unet_generator_import_parity():
         ref = tm(torch.from_numpy(x)).numpy()
     got = UnetGenerator().apply({"params": tree["params"]}, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got), ref.transpose(0, 2, 3, 1), atol=2e-4, rtol=1e-4)
+
+
+def test_timm_vit_import_parity():
+    from combat_tpu.checkpoint.torch_import import convert_timm_vit
+    from combat_tpu.models.vit import VisionTransformer
+
+    tm = TorchTimmViT().eval()
+    tree = convert_timm_vit(_np_sd(tm))
+    x = np.random.RandomState(4).randn(2, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    got = VisionTransformer(image_size=32, patch_size=2, dim=96, depth=2, heads=3).apply(
+        tree, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-3, rtol=1e-3)
 
 
 @pytest.mark.skipif(not os.path.exists(SHIPPED_DETECTOR), reason="reference checkpoint not mounted")
