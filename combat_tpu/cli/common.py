@@ -59,6 +59,8 @@ def distributed_init_kwargs(cfg: Config) -> Optional[dict]:
 def build_mesh(cfg: Config):
     from ..models.layers import set_compute_dtype
 
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     kw = distributed_init_kwargs(cfg)
     if kw is not None:
         jax.distributed.initialize(**kw)

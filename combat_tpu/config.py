@@ -115,6 +115,11 @@ class Config:
     compute_dtype: str = "float32"  # bfloat16 for max MXU throughput
     pallas_lowfreq: bool = False  # fused VMEM low-pass kernel (TPU only)
     profile_dir: str = ""  # non-empty: jax.profiler trace of one post-compile epoch
+    # jit-compatible NaN tripwire (the reference runs
+    # torch.autograd.set_detect_anomaly(True) + NaN prints in every train(),
+    # train_generator.py:145,208-209 — a large slowdown not replicated by
+    # default; enable for debugging only)
+    debug_nans: bool = False
     log_every: int = 1
     image_every: int = 20  # clean-vs-triggered image grid cadence (train_generator.py:310-315)
     synthetic_data: bool = False  # deterministic synthetic dataset (no-network envs)
