@@ -128,8 +128,14 @@ def synthetic_dataset(cfg: Config, train: bool, n: Optional[int] = None) -> Arra
     h, w, c, k = cfg.input_height, cfg.input_width, cfg.input_channel, cfg.num_classes
     modes = 4  # class-template modes (multi-modal classes)
     rng = np.random.RandomState(12345 if train else 54321)
-    templates = _smooth(np.random.RandomState(999).randn(k, modes, h, w, c).astype(np.float32))
-    backgrounds = _smooth(np.random.RandomState(777).randn(64, h, w, c).astype(np.float32))
+    # class templates are band-pass (mid-frequency): like natural images,
+    # the discriminative signal lives above the lowest DCT band, so the
+    # trigger's low-frequency channel is not class-predictive — occupied
+    # only by the (label-independent) smooth backgrounds
+    raw = np.random.RandomState(999).randn(k, modes, h, w, c).astype(np.float32)
+    templates = _smooth(raw, passes=1) - _smooth(raw, passes=4)
+    templates /= np.abs(templates).max(axis=(-3, -2, -1), keepdims=True) + 1e-8
+    backgrounds = _smooth(np.random.RandomState(777).randn(64, h, w, c).astype(np.float32), passes=3)
 
     labels = rng.randint(0, k, size=(n,)).astype(np.int32)
     mode = rng.randint(0, modes, size=n)
@@ -153,8 +159,11 @@ def synthetic_dataset(cfg: Config, train: bool, n: Optional[int] = None) -> Arra
     base[flip] = base[flip, :, ::-1]
     amp = rng.uniform(0.4, 0.85, size=n).astype(np.float32)[:, None, None, None]
     bg = backgrounds[rng.randint(0, 64, size=n)]
-    bg_amp = rng.uniform(0.25, 0.8, size=n).astype(np.float32)[:, None, None, None]
-    noise = rng.randn(n, h, w, c).astype(np.float32) * 0.3
+    # background/noise floors sized so the low-frequency band is usable by a
+    # noise_rate-scale signal (natural-image analogy: smooth illumination
+    # varies but does not bury a consistent low-band watermark)
+    bg_amp = rng.uniform(0.15, 0.45, size=n).astype(np.float32)[:, None, None, None]
+    noise = rng.randn(n, h, w, c).astype(np.float32) * 0.2
     images = np.clip(base * amp + bg * bg_amp + noise, -1.0, 1.0)
     return ArrayDataset(images.astype(np.float32), labels)
 
