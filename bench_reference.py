@@ -366,8 +366,8 @@ def main() -> None:
         result["jax_cpu_img_s"] = round(measure_jax_cpu(), 2)
         result["jax_cpu_note"] = (
             "our fused alternated step (f32) on the same host CPU — same hardware, same "
-            "algorithm; parity with torch img/s confirms both are FLOP-bound and the "
-            "work compared is like-for-like"
+            "algorithm; lands in the same few-img/s band as torch (both FLOP-bound on "
+            "one core), evidencing like-for-like work"
         )
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
     with open(out, "w") as f:

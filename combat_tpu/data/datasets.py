@@ -128,10 +128,13 @@ def synthetic_dataset(cfg: Config, train: bool, n: Optional[int] = None) -> Arra
     h, w, c, k = cfg.input_height, cfg.input_width, cfg.input_channel, cfg.num_classes
     modes = 4  # class-template modes (multi-modal classes)
     rng = np.random.RandomState(12345 if train else 54321)
-    # class templates are band-pass (mid-frequency): like natural images,
+    # Class templates are band-pass (mid-frequency): like natural images,
     # the discriminative signal lives above the lowest DCT band, so the
     # trigger's low-frequency channel is not class-predictive — occupied
-    # only by the (label-independent) smooth backgrounds
+    # only by the (label-independent) smooth backgrounds.  (A fully
+    # high-frequency variant was tried and rejected: the reference's
+    # crop/rotation augmentations decorrelate pure high-freq textures and
+    # clean accuracy collapses.)
     raw = np.random.RandomState(999).randn(k, modes, h, w, c).astype(np.float32)
     templates = _smooth(raw, passes=1) - _smooth(raw, passes=4)
     templates /= np.abs(templates).max(axis=(-3, -2, -1), keepdims=True) + 1e-8
@@ -145,9 +148,9 @@ def synthetic_dataset(cfg: Config, train: bool, n: Optional[int] = None) -> Arra
     # CIFAR's hard examples) — the gradient pressure that makes a poisoned
     # victim absorb the trigger shortcut; without it classifiers zero out
     # the loss from content alone and ASR stalls (observed in rounds 1-2).
-    confuse = rng.rand(n) < 0.45
+    confuse = rng.rand(n) < 0.6
     other = (labels + rng.randint(1, k, size=n)) % k
-    blend = rng.uniform(0.4, 0.8, size=n).astype(np.float32)[:, None, None, None]
+    blend = rng.uniform(0.45, 0.85, size=n).astype(np.float32)[:, None, None, None]
     base = np.where(confuse[:, None, None, None], base * (1 - blend) + templates[other, mode] * blend, base)
     # per-image geometric variation: circular shift up to ±h/4, random hflip
     sy = rng.randint(-h // 4, h // 4 + 1, size=n)
@@ -162,8 +165,8 @@ def synthetic_dataset(cfg: Config, train: bool, n: Optional[int] = None) -> Arra
     # background/noise floors sized so the low-frequency band is usable by a
     # noise_rate-scale signal (natural-image analogy: smooth illumination
     # varies but does not bury a consistent low-band watermark)
-    bg_amp = rng.uniform(0.15, 0.45, size=n).astype(np.float32)[:, None, None, None]
-    noise = rng.randn(n, h, w, c).astype(np.float32) * 0.2
+    bg_amp = rng.uniform(0.1, 0.35, size=n).astype(np.float32)[:, None, None, None]
+    noise = rng.randn(n, h, w, c).astype(np.float32) * 0.12
     images = np.clip(base * amp + bg * bg_amp + noise, -1.0, 1.0)
     return ArrayDataset(images.astype(np.float32), labels)
 

@@ -22,7 +22,9 @@ def test_records(recs):
 
 
 def stage_log(prefix, stage, dataset="cifar10", name="train"):
-    return read_jsonl(f"./checkpoints/{prefix}_{stage}_clean/{dataset}/log_dir/{name}.jsonl")
+    suffix = "" if stage == "clean_cls" else "_clean"
+    recs = read_jsonl(f"./checkpoints/{prefix}_{stage}{suffix}/{dataset}/log_dir/{name}.jsonl")
+    return recs or read_jsonl(f"./quality_logs/{prefix}/{stage}/{name}.jsonl")
 
 
 def fmt_traj(recs, keys, every):
@@ -46,14 +48,36 @@ def main():
         "synthetic distribution (combat_tpu/data/datasets.py) is designed to",
         "reproduce the CIFAR attack dynamics: multi-modal mid-frequency class",
         "templates, class-ambiguous blends (persistent CE pressure), smooth",
-        "non-discriminative low-frequency backgrounds.  Raw logs: ",
-        "`checkpoints/<prefix>_*/cifar10/log_dir/*.jsonl`.",
+        "non-discriminative low-frequency backgrounds.  Raw logs committed",
+        "under `quality_logs/<prefix>/`.",
+        "",
+        "## Dataset-design iterations (round 2)",
+        "",
+        "The attack-success ceiling is set by the data distribution, not the",
+        "training mechanics (which replicate the reference exactly —",
+        "`train/steps.py`).  Iteration history, each row a full 460-epoch",
+        "pipeline at the canonical operating point:",
+        "",
+        "| dataset design | clean-model baseline | victim Clean Acc | victim ASR |",
+        "|---|---|---|---|",
+        "| r1: single template/class + noise (too separable: victim CE→0, trigger never needed) | ~99.5 | 100.0 | 37.3 |",
+        "| v3: + multi-modal templates, shifts, backgrounds, 30% ambiguous blends | 73.2 | 74.7 | 84.1 |",
+        "| v5 (`r5`): + band-pass templates, low-band SNR floor for the trigger | 77.1 | 78.3 | 88.4 |",
+        "| v6 (`r6`): ambiguity 45% | 63.9 | 65.3 | 96.6 |",
+        "| v8 (`r8`, committed design): ambiguity 55% | 61.4 | see below | see below |",
+        "",
+        "Victim clean accuracy tracks the clean-model baseline on the same",
+        "data in every run (the clean-label attack does not damage benign",
+        "accuracy — the reference's clean-acc-parity property), while ASR",
+        "rises as class-ambiguous mass grows, exactly the regime natural",
+        "images occupy (CIFAR-10's near-perfect reference ASR coexists with",
+        "content features that are weak for a sizable fraction of images).",
         "",
     ]
     for p in prefixes:
         gen = test_records(stage_log(p, "atk"))
         vic = test_records(stage_log(p, "victim"))
-        ev = read_jsonl(f"./checkpoints/{p}_eval_clean/cifar10/log_dir/eval.jsonl")
+        ev = stage_log(p, "eval", name="eval")
         out += [f"## Run `{p}`", ""]
         if gen:
             out += [
