@@ -19,14 +19,17 @@ Context published alongside it:
 
   * ``flops_per_img`` — XLA ``cost_analysis()`` of the compiled step;
   * ``mfu`` — achieved FLOP/s over the chip's bf16 peak;
-  * ``jax_cpu_img_s`` — OUR step on the same host CPU: with identical
-    hardware and identical math it lands within noise of the torch number,
-    evidencing that the work compared is like-for-like;
-  * ``vs_est_gpu_a100`` / ``vs_est_gpu_v100`` — first-principles estimates
-    of the reference loop on datacenter GPUs, computed from the measured
-    FLOPs/img over peak×utilization (A100 TF32 156 TFLOP/s at 15% util —
-    small-batch 32px convs with per-batch host syncs and
-    ``set_detect_anomaly(True)``; V100 fp32 15.7 TFLOP/s at 40%).
+  * ``jax_cpu_img_s`` — OUR step on the same host CPU: identical hardware
+    and identical math land it in the same few-img/s band as torch (both
+    FLOP-bound on one core), evidencing like-for-like work;
+  * ``vs_est_gpu_range`` — first-principles bracket of the reference loop
+    on a datacenter GPU, from the measured FLOPs/img over peak×utilization.
+    Utilization for small-batch 32px torch conv training is measured in
+    public practice at ~3-8% on A100-class parts (CIFAR ResNet18 loops run
+    ~2.5-4.5k img/s ≈ 4-7.5 TFLOP/s vs a 156 TFLOP/s TF32 peak), and this
+    loop adds per-batch host syncs and ``set_detect_anomaly(True)``; the
+    bracket spans a generous [V100 fp32 @ 40%, A100 TF32 @ 15%] =
+    [0.3k, 2.2k] img/s so the low multiplier is conservative.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -56,9 +59,9 @@ PEAK_BF16 = {
     "TPU v6 lite": 918e12,  # v6e (Trillium)
 }
 
-# first-principles GPU-estimate knobs (see module docstring)
-A100_TF32_PEAK, A100_UTIL = 156e12, 0.15
-V100_FP32_PEAK, V100_UTIL = 15.7e12, 0.40
+# first-principles GPU-estimate bracket (see module docstring):
+# [generous A100 TF32 @ 15% util, V100 fp32 @ 40% util]
+GPU_EST_HI_FLOPS, GPU_EST_LO_FLOPS = 156e12 * 0.15, 15.7e12 * 0.40
 
 
 def main() -> None:
@@ -160,8 +163,10 @@ def main() -> None:
         if peak:
             out["mfu"] = round(flops_per_img * img_s_chip / peak, 3)
             out["peak_ref"] = f"{device_kind} bf16 {peak / 1e12:.0f} TFLOP/s"
-        out["vs_est_gpu_a100"] = round(img_s_chip / (A100_TF32_PEAK * A100_UTIL / flops_per_img), 2)
-        out["vs_est_gpu_v100"] = round(img_s_chip / (V100_FP32_PEAK * V100_UTIL / flops_per_img), 2)
+        out["vs_est_gpu_range"] = [
+            round(img_s_chip / (GPU_EST_HI_FLOPS / flops_per_img), 2),
+            round(img_s_chip / (GPU_EST_LO_FLOPS / flops_per_img), 2),
+        ]
     print(json.dumps(out))
 
 

@@ -64,7 +64,8 @@ def main():
         "| v3: + multi-modal templates, shifts, backgrounds, 30% ambiguous blends | 73.2 | 74.7 | 84.1 |",
         "| v5 (`r5`): + band-pass templates, low-band SNR floor for the trigger | 77.1 | 78.3 | 88.4 |",
         "| v6 (`r6`): ambiguity 45% | 63.9 | 65.3 | 96.6 |",
-        "| v8 (`r8`, committed design): ambiguity 55% | 61.4 | see below | see below |",
+        "| v8 (`r8`): ambiguity 55% | 61.4 | 65.9 | 97.35 |",
+        "| v9 (`r9`, committed design): ambiguity 60%, lower background/noise floors | 70.7 | 74.7 | 97.23 |",
         "",
         "Victim clean accuracy tracks the clean-model baseline on the same",
         "data in every run (the clean-label attack does not damage benign",
