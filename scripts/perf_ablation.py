@@ -6,7 +6,11 @@ on that component could win — run before writing Pallas (SURVEY.md §7.1.6:
 kernelize only with benchmarks justifying each).
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -16,15 +20,25 @@ STEPS = 64
 
 
 def time_step(step, args, label):
-    jitted = jax.jit(step)
-    out = jitted(*args)
-    jax.tree.map(lambda a: jax.device_get(a) if hasattr(a, "dtype") else a, out[-1])
+    """Times STEPS scanned steps per dispatch (one epoch-style scan).
+
+    Per-dispatch RPC latency to the remote chip is ~75 ms in this container
+    — single-step timing measures the tunnel, not the compute (measured:
+    90.9 ms/step dispatched singly vs 15.3 ms/step inside the scan).  The
+    production loop (train/loop.py) always scans whole epochs, so the scan
+    number is the real one."""
+    from combat_tpu.train import train_epoch_alternated
+
+    stateC, stateG, cm, nF, (x, y), key = args
+    images = jnp.tile(x, (STEPS, 1, 1, 1))
+    labels = jnp.tile(y, (STEPS,))
+    out = train_epoch_alternated(step, stateC, stateG, cm, nF, images, labels, key, BATCH)
+    float(out[-1]["loss_ce"])
     t0 = time.perf_counter()
-    for i in range(4):
-        out = jitted(*args)
-    jax.tree.map(lambda a: jax.device_get(a) if hasattr(a, "dtype") else a, out[-1])
-    dt = (time.perf_counter() - t0) / 4
-    print(f"{label:36s} {dt * 1e3:8.2f} ms/step  {BATCH / dt:9.0f} img/s")
+    out = train_epoch_alternated(step, stateC, stateG, cm, nF, images, labels, key, BATCH)
+    float(out[-1]["loss_ce"])
+    dt = (time.perf_counter() - t0) / STEPS
+    print(f"{label:36s} {dt * 1e3:8.2f} ms/step  {BATCH / dt:9.0f} img/s", flush=True)
     return dt
 
 
