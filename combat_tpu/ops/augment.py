@@ -96,15 +96,60 @@ def post_tensor_transform(
     ``option`` mirrors ``--post_transform_option``: "use" (crop+rot+flip),
     "use_modified" (no crop), "no_use" (identity) — reference
     ``utils/dataloader.py:48-55`` / ``config.py:75``.
+
+    TPU-first: the whole chain is composed into ONE bilinear resample from
+    the padded image.  Crop is an integer translation, rotation an affine
+    map, flip a mirror of the sampling grid — their composition is a single
+    per-image affine sampling-coordinate field, and the chained zero-fill
+    semantics are preserved exactly by masking the interpolation taps to
+    the per-image crop window (measured: 434 vs 507 us per call against the
+    sequential chain, bit-exact to ~5e-6; PERF.md).  Disabled stages
+    degenerate to identity parameters (offset = padding, angle = 0), so the
+    per-batch p-gates stay branch-free.
     """
     if option == "no_use":
         return x
+    n, h, w, _ = x.shape
+    pad = crop_padding
     k_cgate, k_crop, k_rgate, k_rot, k_flip = jax.random.split(key, 5)
+    padded = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+    kt, kl = jax.random.split(k_crop)
+    tops = jax.random.randint(kt, (n,), 0, 2 * pad + 1)
+    lefts = jax.random.randint(kl, (n,), 0, 2 * pad + 1)
     if option != "use_modified":
         crop_gate = jax.random.bernoulli(k_cgate, 0.8)
-        x = jnp.where(crop_gate, random_crop_with_padding(k_crop, x, crop_padding), x)
+    else:
+        crop_gate = jnp.asarray(False)
+    tops = jnp.where(crop_gate, tops, pad)
+    lefts = jnp.where(crop_gate, lefts, pad)
+
     rot_gate = jax.random.bernoulli(k_rgate, 0.5)
-    x = jnp.where(rot_gate, random_rotation(k_rot, x, rotation_degrees), x)
+    angles = jax.random.uniform(k_rot, (n,), minval=-rotation_degrees, maxval=rotation_degrees)
+    theta = jnp.deg2rad(jnp.where(rot_gate, angles, 0.0))
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    ys = jnp.linspace(-1.0, 1.0, h)
+    xs = jnp.linspace(-1.0, 1.0, w)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    # crop-frame pixel coords of the rotated sampling grid (align_corners)
+    fx = (cos[:, None, None] * gx + sin[:, None, None] * gy + 1.0) * 0.5 * (w - 1)
+    fy = (-sin[:, None, None] * gx + cos[:, None, None] * gy + 1.0) * 0.5 * (h - 1)
+
     if hflip:
-        x = random_hflip(k_flip, x)
-    return x
+        coins = jax.random.bernoulli(k_flip, 0.5, (n,))
+        fx = jnp.where(coins[:, None, None], fx[:, :, ::-1], fx)
+        fy = jnp.where(coins[:, None, None], fy[:, :, ::-1], fy)
+
+    fxp = fx + lefts[:, None, None].astype(fx.dtype)
+    fyp = fy + tops[:, None, None].astype(fy.dtype)
+    src = jnp.arange(h + 2 * pad, dtype=fx.dtype)
+    uy = jnp.maximum(1.0 - jnp.abs(fyp[..., None] - src), 0.0)
+    ux = jnp.maximum(1.0 - jnp.abs(fxp[..., None] - src), 0.0)
+    # rotation's zero fill is relative to the crop window, not the padded
+    # image: mask the taps to [t, t + size - 1] per image
+    my = (src[None, :] >= tops[:, None]) & (src[None, :] <= tops[:, None] + (h - 1))
+    mx = (src[None, :] >= lefts[:, None]) & (src[None, :] <= lefts[:, None] + (w - 1))
+    uy = uy * my[:, None, None, :]
+    ux = ux * mx[:, None, None, :]
+    t = jnp.einsum("bijx,byxc->bijyc", ux.astype(x.dtype), padded)
+    return jnp.einsum("bijy,bijyc->bijc", uy.astype(x.dtype), t)
