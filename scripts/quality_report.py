@@ -74,6 +74,14 @@ def main():
         "images occupy (CIFAR-10's near-perfect reference ASR coexists with",
         "content features that are weak for a sizable fraction of images).",
         "",
+        "## Defense evasion (r9 victim, full-depth runs; raw outputs in quality_logs/defenses/)",
+        "",
+        "| defense | result |",
+        "|---|---|",
+        "| Neural Cleanse (50-epoch mask reverse-engineering x 10 labels) | anomaly index **0.72** (< 2) -> NOT flagged: the target label's reversed-trigger norm is not an outlier |",
+        "| Fine-pruning (channel sweep on layer4) | ASR holds 96.9% through pruning until clean acc itself collapses (clean 73->23 before ASR drops) |",
+        "| STRIP (64 overlays x 64 images x 2 rounds) | trojan entropies (mean .0057) fully overlap benign (mean .0042) - no discriminative signal; the absolute 0.2 threshold fires for benign inputs too on this distribution (calibrated for CIFAR confidence levels) |",
+        "",
     ]
     for p in prefixes:
         gen = test_records(stage_log(p, "atk"))
