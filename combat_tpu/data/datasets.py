@@ -153,9 +153,9 @@ def synthetic_dataset(cfg: Config, train: bool, n: Optional[int] = None) -> Arra
     # CIFAR's hard examples) — the gradient pressure that makes a poisoned
     # victim absorb the trigger shortcut; without it classifiers zero out
     # the loss from content alone and ASR stalls (observed in rounds 1-2).
-    confuse = rng.rand(n) < 0.6
+    confuse = rng.rand(n) < 0.68
     other = (labels + rng.randint(1, k, size=n)) % k
-    blend = rng.uniform(0.45, 0.85, size=n).astype(np.float32)[:, None, None, None]
+    blend = rng.uniform(0.5, 0.9, size=n).astype(np.float32)[:, None, None, None]
     base = np.where(confuse[:, None, None, None], base * (1 - blend) + templates[other, mode] * blend, base)
     # per-image geometric variation: circular shift up to ±h/4, random hflip
     sy = rng.randint(-h // 4, h // 4 + 1, size=n)
