@@ -30,11 +30,27 @@ import numpy as np
 Tree = Dict[str, Any]
 
 
-def load_torch_file(path: str) -> Dict[str, Any]:
-    """``torch.load`` (CPU) → nested dict of numpy arrays / scalars."""
+def load_torch_file(path: str, unsafe: bool = False) -> Dict[str, Any]:
+    """``torch.load`` (CPU) → nested dict of numpy arrays / scalars.
+
+    Loads with ``weights_only=True`` by default: the reference's checkpoints
+    are plain tensor/state dicts (``train_generator.py:441-456``), and
+    unrestricted unpickling of files from an untrusted public repo can
+    execute arbitrary code.  ``unsafe=True`` (the ``--unsafe`` CLI flag)
+    opts into full unpickling for checkpoints that genuinely embed
+    non-tensor objects."""
     import torch
 
-    raw = torch.load(path, map_location="cpu", weights_only=False)
+    if unsafe:
+        raw = torch.load(path, map_location="cpu", weights_only=False)
+    else:
+        try:
+            raw = torch.load(path, map_location="cpu", weights_only=True)
+        except Exception as e:  # pickle.UnpicklingError subclass varies by torch version
+            raise RuntimeError(
+                f"{path} is not loadable with weights_only=True; if you trust "
+                "this file, re-run with unsafe=True (CLI: --unsafe)"
+            ) from e
 
     def to_np(v):
         if isinstance(v, torch.Tensor):

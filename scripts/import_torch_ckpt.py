@@ -46,9 +46,11 @@ def main() -> None:
     ap.add_argument("--F_model", default="original")
     ap.add_argument("--F_checkpoints", default="./defenses/frequency_based/checkpoints")
     ap.add_argument("--out", default=None, help="override output .ckpt path")
+    ap.add_argument("--unsafe", action="store_true",
+                    help="allow full (arbitrary-code) unpickling instead of weights_only")
     args = ap.parse_args()
 
-    raw = load_torch_file(args.src)
+    raw = load_torch_file(args.src, unsafe=args.unsafe)
     if args.kind == "frequency":
         payload = {
             "netC": convert_frequency_detector(raw["netC"]),
