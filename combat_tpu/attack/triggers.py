@@ -42,10 +42,25 @@ def additive_trigger(
     kernel_size: int,
     sigma: Tuple[float, float],
     use_pallas: bool = False,
+    use_pallas_fused: bool = False,
 ) -> jnp.ndarray:
     """Inject a generator noise map into x: DCT low-pass, scaled add, clamp,
     Gaussian blur. One blur-sigma draw per call (one per batch), like each
-    ``gauss_smooth`` invocation in the reference."""
+    ``gauss_smooth`` invocation in the reference.
+
+    ``use_pallas_fused`` routes the whole chain through ONE Pallas VMEM
+    kernel (``ops/pallas_kernels.fused_trigger_pallas``); ``use_pallas``
+    kernelizes only the low-pass."""
+    if use_pallas_fused:
+        from ..ops.blur import gaussian_kernel_1d
+        from ..ops.pallas_kernels import _blur_matrix, fused_trigger_pallas
+
+        lo, hi = sigma
+        s = jax.random.uniform(key, (), minval=lo, maxval=hi)
+        B = _blur_matrix(gaussian_kernel_1d(kernel_size, s), image_size)
+        return fused_trigger_pallas(
+            x, noise.astype(x.dtype), B, image_size, ratio, noise_rate
+        )
     # trigger math in the image dtype (f32) even under bf16 model compute
     n = low_freq(noise.astype(x.dtype), image_size=image_size, ratio=ratio, use_pallas=use_pallas)
     x_bd = jnp.clip(x + n * noise_rate, -1.0, 1.0)

@@ -25,10 +25,13 @@ from typing import Optional, Sequence, Tuple
 
 @dataclass(frozen=True)
 class Config:
+    # Fields marked "vestigial" below are parsed for CLI parity but consumed
+    # nowhere — the reference defines them in its config.py yet no root
+    # script reads them either (grep-verified; citation = definition site).
     # --- paths / run management (reference config.py:7-15) ---
     data_root: str = "./data"
     checkpoints: str = "./checkpoints"
-    temps: str = "./temps"
+    temps: str = "./temps"  # near-vestigial in reference: only mkdir'd at train_victim_multilabel.py:278-280
     device: str = "tpu"  # informational; JAX picks the backend
     continue_training: bool = False
     saving_prefix: Optional[str] = None
@@ -55,14 +58,14 @@ class Config:
     schedulerG_lambda: float = 0.1
     scheduler_clean_lambda: float = 0.1
     n_iters: int = 200
-    num_workers: int = 6  # unused on TPU (data lives on device); kept for CLI parity
-    lambda_cov: float = 1.0
+    num_workers: int = 6  # unused on TPU (data lives on device); reference DataLoader workers (utils/dataloader.py:120-122)
+    lambda_cov: float = 1.0  # vestigial in reference (config.py:35)
 
     # --- attack knobs (reference config.py:37-45) ---
     noise_rate: float = 0.08
     target_label: int = 0
     pc: float = 0.5
-    cross_rate: float = 1.0
+    cross_rate: float = 1.0  # vestigial in reference (config.py:40; the input-aware cross term uses cross_weight)
     s: int = 2
     grid_rescale: float = 0.15
     ratio: float = 0.65  # DCT low-pass cutoff fraction
@@ -73,7 +76,9 @@ class Config:
     random_rotation: int = 10
     random_crop: int = 5
 
-    # --- WaNet / grid extras (reference config.py:50-61) ---
+    # --- WaNet / grid extras (reference config.py:50-61) — all vestigial in
+    # reference (defined at config.py:50,51,53,55,61, consumed by no script;
+    # the live WaNet knobs are --s and --grid_rescale) ---
     scale: float = 1.0
     S2: int = 8
     clamp: bool = False
@@ -90,16 +95,16 @@ class Config:
     F_num_ensemble: int = 3
     model_clean: str = "default"
     clean_model_weight: float = 0.8
-    noise_only: bool = False
+    noise_only: bool = False  # vestigial in reference (config.py:74)
     post_transform_option: str = "use"  # use | no_use | use_modified
-    scale_noise_rate: float = 1.0
+    scale_noise_rate: float = 1.0  # vestigial in reference (config.py:76; live only in defenses/frequency_based/config.py:29)
     cross_weight: float = 0.2
 
     # --- misc (reference config.py:80-84) ---
     debug: bool = False
-    r: float = 0.25
-    scale_factor: float = 0.5
-    scale_mode: str = "bicubic"
+    r: float = 0.25  # vestigial in reference (config.py:82)
+    scale_factor: float = 0.5  # vestigial in reference (config.py:83)
+    scale_mode: str = "bicubic"  # vestigial in reference (config.py:84)
 
     # --- TPU-native additions (no reference equivalent) ---
     seed: int = 0
@@ -114,6 +119,7 @@ class Config:
     num_processes: int = -1
     compute_dtype: str = "float32"  # bfloat16 for max MXU throughput
     pallas_lowfreq: bool = False  # fused VMEM low-pass kernel (TPU only)
+    pallas_trigger: bool = False  # whole trigger chain (low-pass+clamp+blur) as one Pallas kernel
     profile_dir: str = ""  # non-empty: jax.profiler trace of one post-compile epoch
     # jit-compatible NaN tripwire (the reference runs
     # torch.autograd.set_detect_anomaly(True) + NaN prints in every train(),

@@ -103,7 +103,9 @@ def post_tensor_transform(
     per-image affine sampling-coordinate field, and the chained zero-fill
     semantics are preserved exactly by masking the interpolation taps to
     the per-image crop window (measured: 434 vs 507 us per call against the
-    sequential chain, bit-exact to ~5e-6; PERF.md).  Disabled stages
+    sequential chain; agrees to ~5e-6 on CPU f32 and to ~1e-3 on the TPU
+    backend, where the interpolation einsums run at default bf16 matmul
+    precision; PERF.md).  Disabled stages
     degenerate to identity parameters (offset = padding, angle = 0), so the
     per-batch p-gates stay branch-free.
     """
@@ -142,13 +144,14 @@ def post_tensor_transform(
 
     fxp = fx + lefts[:, None, None].astype(fx.dtype)
     fyp = fy + tops[:, None, None].astype(fy.dtype)
-    src = jnp.arange(h + 2 * pad, dtype=fx.dtype)
-    uy = jnp.maximum(1.0 - jnp.abs(fyp[..., None] - src), 0.0)
-    ux = jnp.maximum(1.0 - jnp.abs(fxp[..., None] - src), 0.0)
+    src_y = jnp.arange(h + 2 * pad, dtype=fy.dtype)
+    src_x = jnp.arange(w + 2 * pad, dtype=fx.dtype)
+    uy = jnp.maximum(1.0 - jnp.abs(fyp[..., None] - src_y), 0.0)
+    ux = jnp.maximum(1.0 - jnp.abs(fxp[..., None] - src_x), 0.0)
     # rotation's zero fill is relative to the crop window, not the padded
     # image: mask the taps to [t, t + size - 1] per image
-    my = (src[None, :] >= tops[:, None]) & (src[None, :] <= tops[:, None] + (h - 1))
-    mx = (src[None, :] >= lefts[:, None]) & (src[None, :] <= lefts[:, None] + (w - 1))
+    my = (src_y[None, :] >= tops[:, None]) & (src_y[None, :] <= tops[:, None] + (h - 1))
+    mx = (src_x[None, :] >= lefts[:, None]) & (src_x[None, :] <= lefts[:, None] + (w - 1))
     uy = uy * my[:, None, None, :]
     ux = ux * mx[:, None, None, :]
     t = jnp.einsum("bijx,byxc->bijyc", ux.astype(x.dtype), padded)

@@ -33,6 +33,138 @@ from jax.experimental.pallas import tpu as pltpu
 from .dct import _dct_matrix_np
 
 
+def _blur_matrix(kern: jnp.ndarray, h: int) -> jnp.ndarray:
+    """(h, h) matrix form of a 1-D reflect-padded blur: rows of ``B @ x``
+    are the taps of ``kern`` with torchvision's reflect boundary."""
+    k = kern.shape[0]
+    p = k // 2
+    idx = jnp.arange(h)
+    B = jnp.zeros((h, h), kern.dtype)
+    for t in range(k):  # static tiny loop (k = kernel_size)
+        src = idx + (t - p)
+        src = jnp.abs(src)  # reflect at the low edge
+        src = jnp.where(src > h - 1, 2 * (h - 1) - src, src)  # and the high edge
+        B = B.at[idx, src].add(kern[t])
+    return B
+
+
+def _fused_trigger_fwd_kernel(x_ref, n_ref, d_ref, dt_ref, mask_ref, b_ref, bt_ref, o_ref, u_ref, *, noise_rate):
+    # one image channel: low-pass(n) -> inject -> clamp -> separable blur,
+    # all without leaving VMEM.  u (pre-clip injection) is saved for the VJP.
+    y = (n_ref[0] + 1.0) * (0.5 * 255.0)
+    d = d_ref[:]
+    dt = dt_ref[:]
+    coef = jnp.dot(jnp.dot(d, y, preferred_element_type=jnp.float32), dt,
+                   preferred_element_type=jnp.float32) * mask_ref[:]
+    low = jnp.dot(jnp.dot(dt, coef, preferred_element_type=jnp.float32), d,
+                  preferred_element_type=jnp.float32) * (2.0 / 255.0) - 1.0
+    u = x_ref[0] + low * noise_rate
+    u_ref[0] = u
+    c = jnp.clip(u, -1.0, 1.0)
+    o_ref[0] = jnp.dot(jnp.dot(b_ref[:], c, preferred_element_type=jnp.float32), bt_ref[:],
+                       preferred_element_type=jnp.float32)
+
+
+def _fused_trigger_bwd_kernel(g_ref, u_ref, d_ref, dt_ref, mask_ref, b_ref, bt_ref, gx_ref, gn_ref, *, noise_rate):
+    # adjoint of fwd: g_c = B^T g B; g_u = g_c * 1{-1<=u<=1}; g_x = g_u;
+    # g_n = noise_rate * L(g_u) with L the (self-adjoint) masked-DCT map.
+    g = g_ref[0]
+    d = d_ref[:]
+    dt = dt_ref[:]
+    gc = jnp.dot(jnp.dot(bt_ref[:].T, g, preferred_element_type=jnp.float32), b_ref[:].T,
+                 preferred_element_type=jnp.float32)
+    u = u_ref[0]
+    gu = gc * ((u >= -1.0) & (u <= 1.0)).astype(jnp.float32)
+    gx_ref[0] = gu
+    coef = jnp.dot(jnp.dot(d, gu, preferred_element_type=jnp.float32), dt,
+                   preferred_element_type=jnp.float32) * mask_ref[:]
+    gn_ref[0] = jnp.dot(jnp.dot(dt, coef, preferred_element_type=jnp.float32), d,
+                        preferred_element_type=jnp.float32) * noise_rate
+
+
+def _trigger_operands(x, image_size, ratio):
+    n, h, w, c = x.shape
+    assert h == w == image_size, "square images only"
+    cutoff = int(image_size * ratio)
+    d = jnp.asarray(_dct_matrix_np(h), jnp.float32)
+    mask = ((jnp.arange(h) < cutoff)[:, None] & (jnp.arange(w) < cutoff)[None, :]).astype(jnp.float32)
+    return d, mask
+
+
+def _plane_spec(h, w):
+    return pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _mat_spec(h, w):
+    return pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_trigger_pallas(x, noise, B, image_size: int, ratio: float, noise_rate: float):
+    """The ENTIRE additive trigger chain as one Pallas TPU kernel:
+    ``blur(clamp(x + low_freq(noise) * noise_rate, -1, 1))``
+    (reference ``train_generator.py:189-194,223-226``), per image channel in
+    VMEM — the deeper fusion proposed by the round-2 measurement notes above.
+    ``B`` is the (H, H) matrix form of the per-batch random-sigma 1-D blur
+    (see :func:`_blur_matrix`); the separable 2-D blur is ``B @ c @ B^T``.
+    Differentiable in x and noise (custom VJP, one backward kernel); B gets
+    a zero cotangent (sigma is drawn, not trained — same as the reference
+    where blur parameters are not part of any loss)."""
+    out, _ = _fused_trigger_impl(x, noise, B, image_size, ratio, noise_rate)
+    return out
+
+
+def _fused_trigger_impl(x, noise, B, image_size, ratio, noise_rate):
+    n, h, w, c = x.shape
+    d, mask = _trigger_operands(x, image_size, ratio)
+    planes_x = x.astype(jnp.float32).transpose(0, 3, 1, 2).reshape(n * c, h, w)
+    planes_n = noise.astype(jnp.float32).transpose(0, 3, 1, 2).reshape(n * c, h, w)
+    Bf = B.astype(jnp.float32)
+    out, u = pl.pallas_call(
+        functools.partial(_fused_trigger_fwd_kernel, noise_rate=noise_rate),
+        out_shape=(
+            jax.ShapeDtypeStruct((n * c, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((n * c, h, w), jnp.float32),
+        ),
+        grid=(n * c,),
+        in_specs=[_plane_spec(h, w), _plane_spec(h, w), _mat_spec(h, h), _mat_spec(h, h),
+                  _mat_spec(h, w), _mat_spec(h, h), _mat_spec(h, h)],
+        out_specs=(_plane_spec(h, w), _plane_spec(h, w)),
+    )(planes_x, planes_n, d, d.T, mask, Bf, Bf.T)
+    return out.reshape(n, c, h, w).transpose(0, 2, 3, 1).astype(x.dtype), u
+
+
+def _fused_trigger_vjp_fwd(x, noise, B, image_size, ratio, noise_rate):
+    out, u = _fused_trigger_impl(x, noise, B, image_size, ratio, noise_rate)
+    return out, (u, B)
+
+
+def _fused_trigger_vjp_bwd(image_size, ratio, noise_rate, res, g):
+    u, B = res
+    n, h, w, c = g.shape  # cotangent has the primal's NHWC shape/dtype
+    dtype = g.dtype
+    shape = g.shape
+    d, mask = _trigger_operands(jnp.zeros(shape), image_size, ratio)
+    planes_g = g.astype(jnp.float32).transpose(0, 3, 1, 2).reshape(n * c, h, w)
+    Bf = B.astype(jnp.float32)
+    gx, gn = pl.pallas_call(
+        functools.partial(_fused_trigger_bwd_kernel, noise_rate=noise_rate),
+        out_shape=(
+            jax.ShapeDtypeStruct((n * c, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((n * c, h, w), jnp.float32),
+        ),
+        grid=(n * c,),
+        in_specs=[_plane_spec(h, w), _plane_spec(h, w), _mat_spec(h, h), _mat_spec(h, h),
+                  _mat_spec(h, w), _mat_spec(h, h), _mat_spec(h, h)],
+        out_specs=(_plane_spec(h, w), _plane_spec(h, w)),
+    )(planes_g, u, d, d.T, mask, Bf, Bf.T)
+    to_img = lambda p: p.reshape(n, c, h, w).transpose(0, 2, 3, 1).astype(dtype)
+    return to_img(gx), to_img(gn), jnp.zeros_like(B)
+
+
+fused_trigger_pallas.defvjp(_fused_trigger_vjp_fwd, _fused_trigger_vjp_bwd)
+
+
 def _low_freq_kernel(x_ref, d_ref, dt_ref, mask_ref, o_ref):
     # x: (1, H, W) one image channel; d/dt: (H, H); mask: (H, W)
     y = (x_ref[0] + 1.0) * (0.5 * 255.0)

@@ -58,6 +58,7 @@ def _trigger_fn(cfg: Config):
         kernel_size=cfg.kernel_size,
         sigma=cfg.sigma,
         use_pallas=cfg.pallas_lowfreq,
+        use_pallas_fused=cfg.pallas_trigger,
     )
 
 

@@ -72,6 +72,7 @@ def main():
         "no augmentation": base.replace(post_transform_option="no_use"),
         "no blur (kernel_size=1)": base.replace(kernel_size=1, sigma=(1e-6, 1e-6)),
         "pallas low-pass": base.replace(pallas_lowfreq=True),
+        "pallas fused trigger": base.replace(pallas_trigger=True),
     }
     for label, cfg in variants.items():
         time_step(make_alternated_train_step(cfg, C, G), args(cfg), label)

@@ -189,7 +189,37 @@ def test_post_tensor_transform_options():
     assert y2.shape == x.shape
 
 
+def test_post_tensor_transform_non_square():
+    """Regression: fused resample must use separate y/x tap grids (h != w)."""
+    rng = np.random.RandomState(10)
+    x = jnp.asarray(rng.randn(2, 24, 32, 3).astype(np.float32))
+    y = post_tensor_transform(jax.random.key(3), x, option="use")
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+    # identity parameters (no crop window shift, 0-degree rotation, no flip)
+    # must reproduce the input exactly on a non-square image
+    ident = post_tensor_transform(
+        jax.random.key(3), x, option="use_modified", rotation_degrees=0.0, hflip=False
+    )
+    np.testing.assert_allclose(np.asarray(ident), np.asarray(x), rtol=1e-5, atol=1e-5)
+
+
 def test_post_tensor_transform_jits():
     x = jnp.zeros((2, 32, 32, 3))
     f = jax.jit(lambda k, x: post_tensor_transform(k, x))
     assert f(jax.random.key(1), x).shape == x.shape
+
+
+def test_blur_matrix_matches_separable_conv():
+    """The (H,H) matrix form used by the fused Pallas trigger kernel must
+    reproduce gaussian_blur's reflect-padded separable conv exactly."""
+    from combat_tpu.ops.blur import gaussian_blur, gaussian_kernel_1d
+    from combat_tpu.ops.pallas_kernels import _blur_matrix
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(3, 16, 16, 2).astype(np.float32))
+    sigma = jnp.asarray(0.7)
+    ref = gaussian_blur(x, sigma, 3)
+    B = _blur_matrix(gaussian_kernel_1d(3, sigma), 16)
+    got = jnp.einsum("ij,njwc,wk->nikc", B, x, B.T)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

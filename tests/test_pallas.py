@@ -44,3 +44,45 @@ def test_low_freq_pallas_vjp_matches_xla():
     g_ref = jax.grad(loss_ref)(x)
     g_pk = jax.grad(loss_pk)(x)
     np.testing.assert_allclose(np.asarray(g_pk), np.asarray(g_ref), atol=2e-5)
+
+
+def test_fused_trigger_pallas_matches_xla_chain():
+    from functools import partial
+
+    from combat_tpu.attack.triggers import additive_trigger
+
+    x = jax.random.uniform(jax.random.key(3), (4, 32, 32, 3), minval=-1, maxval=1)
+    noise = jax.random.uniform(jax.random.key(4), (4, 32, 32, 3), minval=-1, maxval=1)
+    trig = partial(
+        additive_trigger, image_size=32, ratio=0.65, noise_rate=0.08,
+        kernel_size=3, sigma=(0.1, 1.0),
+    )
+    key = jax.random.key(7)
+    ref = trig(key, x, noise)
+    got = trig(key, x, noise, use_pallas_fused=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+def test_fused_trigger_pallas_vjp_matches_xla_chain():
+    from functools import partial
+
+    from combat_tpu.attack.triggers import additive_trigger
+
+    x = jax.random.uniform(jax.random.key(5), (2, 32, 32, 3), minval=-1, maxval=1)
+    noise = jax.random.uniform(jax.random.key(6), (2, 32, 32, 3), minval=-1, maxval=1)
+    key = jax.random.key(9)
+    trig = partial(
+        additive_trigger, image_size=32, ratio=0.65, noise_rate=0.08,
+        kernel_size=3, sigma=(0.1, 1.0),
+    )
+
+    def loss(fused):
+        def f(x, noise):
+            return jnp.sum(jnp.sin(trig(key, x, noise, use_pallas_fused=fused)))
+
+        return jax.grad(f, argnums=(0, 1))(x, noise)
+
+    gx_ref, gn_ref = loss(False)
+    gx, gn = loss(True)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gn), np.asarray(gn_ref), atol=5e-5)
