@@ -58,6 +58,33 @@ def load_checkpoint(path: str, template: Dict[str, Any] | None = None) -> Dict[s
         return ckptr.restore(path)
 
 
+def load_checkpoint_compat(
+    path: str,
+    template: Dict[str, Any],
+    optional: Tuple[str, ...] = ("F_detector_loaded", "scheduler_steps_per_epoch"),
+) -> Dict[str, Any]:
+    """Restore with ``template``, tolerating checkpoints written before the
+    ``optional`` top-level keys existed (orbax structure matching rejects a
+    template key with no on-disk counterpart).  Tries the full template
+    first, then with all optional keys dropped, then each individually."""
+    try:
+        return load_checkpoint(path, template)
+    except Exception:
+        pass
+    reduced = {k: v for k, v in template.items() if k not in optional}
+    try:
+        return load_checkpoint(path, reduced)
+    except Exception:
+        pass
+    for k in optional:
+        t = {kk: vv for kk, vv in template.items() if kk != k}
+        try:
+            return load_checkpoint(path, t)
+        except Exception:
+            continue
+    return load_checkpoint(path, template)  # re-raise the original failure
+
+
 def best_gate_clean(acc_clean: float, best_clean: float) -> bool:
     """Clean-classifier / victim save gate (train_clean_classifier.py:150)."""
     return acc_clean > best_clean

@@ -12,7 +12,7 @@ from typing import Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from ..checkpoint import best_gate_clean, load_checkpoint, save_checkpoint
+from ..checkpoint import best_gate_clean, load_checkpoint, load_checkpoint_compat, save_checkpoint
 from ..config import Config
 from ..data import poison_flags
 from ..models import get_classifier, get_generator
@@ -28,6 +28,7 @@ from ..train import (
     train_epoch_classifier,
 )
 from ..utils import MetricsLogger, Timer, profile_epoch
+from ..train.mesh import replicate
 from .common import build_mesh, device_dataset, fmt_pct, ref_ckpt_path, setup_run_dirs, steps_per_epoch
 
 
@@ -90,6 +91,8 @@ def run_victim(cfg: Config, spec: VictimSpec):
             "netG": {"params": paramsG},
             **best,
             **extra,
+            # persist the epoch→step milestone binding (see _alternated.py)
+            "scheduler_steps_per_epoch": spe,
             "epoch_current": epoch,
         }
 
@@ -97,11 +100,23 @@ def run_victim(cfg: Config, spec: VictimSpec):
         if not os.path.exists(ckpt_path):
             raise SystemExit("Pretrained model doesnt exist")
         print("Continue training!!")
-        payload = load_checkpoint(ckpt_path, payload_of(0))
+        payload = load_checkpoint_compat(ckpt_path, payload_of(0))
+        saved_spe = int(payload.get("scheduler_steps_per_epoch", spe))
+        if saved_spe != spe:
+            print(
+                f"WARNING: checkpoint was trained at {saved_spe} steps/epoch but the "
+                f"current dataset gives {spe}; rebuilding the LR schedule on the saved value"
+            )
+            stateC = stateC.replace(
+                tx=sgd_torch(multistep_lr(cfg.lr_C, cfg.schedulerC_milestones, cfg.schedulerC_lambda, saved_spe))
+            )
         stateC = stateC.replace(
             params=payload["netC"]["params"], batch_stats=payload["netC"]["batch_stats"],
             opt_state=payload["optimizerC"], step=jnp.asarray(payload["schedulerC"]["step"]),
         )
+        # restored arrays are committed to one device; re-replicate over the
+        # mesh so they compose with the sharded batches under jit
+        stateC = replicate(mesh, stateC)
         best = {k: float(payload[k]) for k in best}
         epoch_current = int(payload["epoch_current"]) + 1
         log_dir = setup_run_dirs(cfg, ckpt_folder, fresh=False)

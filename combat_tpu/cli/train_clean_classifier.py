@@ -22,7 +22,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from ..checkpoint import best_gate_clean, load_checkpoint, save_checkpoint
+from ..checkpoint import best_gate_clean, load_checkpoint_compat, save_checkpoint
 from ..config import Config, from_args
 from ..models import get_classifier
 from ..train import (
@@ -37,6 +37,7 @@ from ..train import (
     train_epoch_classifier,
 )
 from ..utils import MetricsLogger, Timer, profile_epoch
+from ..train.mesh import replicate
 from .common import build_mesh, device_dataset, fmt_pct, setup_run_dirs, steps_per_epoch
 
 
@@ -62,22 +63,35 @@ def run(cfg: Config) -> float:
         if not os.path.exists(ckpt_path):
             raise SystemExit("Pretrained model doesnt exist")
         print("Continue training!!")
-        payload = load_checkpoint(
+        payload = load_checkpoint_compat(
             ckpt_path,
             {
                 "netC": {"params": stateC.params, "batch_stats": stateC.batch_stats},
                 "optimizerC": stateC.opt_state,
                 "schedulerC": {"step": stateC.step},
                 "best_clean_acc": 0.0,
+                "scheduler_steps_per_epoch": 0,
                 "epoch_current": 0,
             },
         )
+        saved_spe = int(payload.get("scheduler_steps_per_epoch", spe)) or spe
+        if saved_spe != spe:
+            print(
+                f"WARNING: checkpoint was trained at {saved_spe} steps/epoch but the "
+                f"current dataset gives {spe}; rebuilding the LR schedule on the saved value"
+            )
+            stateC = stateC.replace(
+                tx=sgd_torch(multistep_lr(cfg.lr_C, cfg.schedulerC_milestones, cfg.schedulerC_lambda, saved_spe))
+            )
         stateC = stateC.replace(
             params=payload["netC"]["params"],
             batch_stats=payload["netC"]["batch_stats"],
             opt_state=payload["optimizerC"],
             step=jnp.asarray(payload["schedulerC"]["step"]),
         )
+        # restored arrays are committed to one device; re-replicate over the
+        # mesh so they compose with the sharded batches under jit
+        stateC = replicate(mesh, stateC)
         best_clean_acc = float(payload["best_clean_acc"])
         epoch_current = int(payload["epoch_current"]) + 1
         log_dir = setup_run_dirs(cfg, ckpt_folder, fresh=False)
@@ -123,6 +137,8 @@ def run(cfg: Config) -> float:
                         "optimizerC": stateC.opt_state,
                         "schedulerC": {"step": stateC.step},
                         "best_clean_acc": best_clean_acc,
+                        # epoch→step milestone binding (see _alternated.py)
+                        "scheduler_steps_per_epoch": spe,
                         "epoch_current": epoch,
                     },
                 )
