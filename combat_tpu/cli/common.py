@@ -79,7 +79,9 @@ def ref_ckpt_path(checkpoints_root: str, name: str, dataset: str) -> str:
 
 
 def steps_per_epoch(n: int, bs: int) -> int:
-    return max(1, n // bs)
+    """Optimizer steps per epoch: full batches + the ragged tail batch
+    (train/loop.py runs the tail at its true shape, drop_last=False parity)."""
+    return max(1, -(-n // bs))
 
 
 def fmt_pct(x: float) -> str:

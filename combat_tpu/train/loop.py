@@ -8,11 +8,13 @@ epoch, vs the reference's per-batch ``progress_bar`` scalar syncs at
 index matrix is sharded, which shards every activation downstream; params are
 replicated and GSPMD inserts the gradient ``psum`` over ICI (train/mesh.py).
 
-Remainder policy: training epochs drop the ragged tail batch (fixed shapes for XLA); the
-reference trains on the ragged tail batch too (DataLoader drop_last=False) —
-a documented, statistically immaterial divergence (shuffling re-draws the
-dropped rows every epoch).  Eval pads to a full batch with a validity mask,
-so eval metrics are exact.
+Remainder policy: every training epoch covers all N rows, like the
+reference's ``DataLoader(drop_last=False)``.  The full batches run inside the
+``lax.scan``; the ragged tail (n % bs rows) runs as ONE extra ``step_fn``
+call at its true (static) shape — XLA compiles a second program for the tail
+shape once, and BN/loss/metrics see the genuine small batch exactly as the
+reference does.  Eval pads to a full batch with a validity mask, so eval
+metrics are exact.
 """
 
 from __future__ import annotations
@@ -25,9 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def epoch_permutation(key: jax.Array, n: int, bs: int) -> jnp.ndarray:
+def epoch_permutation(key: jax.Array, n: int, bs: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(full_batches, tail): a (n//bs, bs) index matrix plus the ragged
+    remainder (static length n % bs, possibly 0)."""
     steps = n // bs
-    return jax.random.permutation(key, n)[: steps * bs].reshape(steps, bs)
+    perm = jax.random.permutation(key, n)
+    return perm[: steps * bs].reshape(steps, bs), perm[steps * bs :]
 
 
 def padded_eval_batches(n: int, bs: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -52,7 +57,7 @@ def train_epoch_alternated(
 ):
     """One alternated-training epoch (reference train_generator.py train())."""
     kperm, kstep = jax.random.split(key)
-    perm = epoch_permutation(kperm, images.shape[0], bs)
+    perm, tail = epoch_permutation(kperm, images.shape[0], bs)
 
     def body(carry, idx):
         stateC, stateG = carry
@@ -62,7 +67,12 @@ def train_epoch_alternated(
         return (stateC, stateG), m
 
     (stateC, stateG), ms = jax.lax.scan(body, (stateC, stateG), perm)
-    return stateC, stateG, jax.tree.map(lambda a: a.sum(0), ms)
+    metrics = jax.tree.map(lambda a: a.sum(0), ms)
+    if tail.shape[0]:
+        sub = jax.random.fold_in(kstep, stateC.step)
+        stateC, stateG, mt = step_fn(stateC, stateG, clean_model, netF, (images[tail], labels[tail]), sub)
+        metrics = jax.tree.map(jnp.add, metrics, mt)
+    return stateC, stateG, metrics
 
 
 @partial(jax.jit, static_argnames=("step_fn", "bs"))
@@ -81,8 +91,8 @@ def train_epoch_alternated_pair(
     input-aware variant's two dataloaders, reference
     ``train_generator_inputaware.py:535-538``); batch = (x, y, x2)."""
     kperm, kperm2, kstep = jax.random.split(key, 3)
-    perm = epoch_permutation(kperm, images.shape[0], bs)
-    perm2 = epoch_permutation(kperm2, images.shape[0], bs)
+    perm, tail = epoch_permutation(kperm, images.shape[0], bs)
+    perm2, tail2 = epoch_permutation(kperm2, images.shape[0], bs)
 
     def body(carry, idx_pair):
         stateC, stateG = carry
@@ -93,7 +103,14 @@ def train_epoch_alternated_pair(
         return (stateC, stateG), m
 
     (stateC, stateG), ms = jax.lax.scan(body, (stateC, stateG), (perm, perm2))
-    return stateC, stateG, jax.tree.map(lambda a: a.sum(0), ms)
+    metrics = jax.tree.map(lambda a: a.sum(0), ms)
+    if tail.shape[0]:
+        sub = jax.random.fold_in(kstep, stateC.step)
+        stateC, stateG, mt = step_fn(
+            stateC, stateG, clean_model, netF, (images[tail], labels[tail], images[tail2]), sub
+        )
+        metrics = jax.tree.map(jnp.add, metrics, mt)
+    return stateC, stateG, metrics
 
 
 @partial(jax.jit, static_argnames=("step_fn", "bs", "has_poison"))
@@ -111,19 +128,20 @@ def train_epoch_classifier(
     """One classifier-only epoch: clean training (paramsG/poisoned unused) or
     victim training on the fixed poisoned subset."""
     kperm, kstep = jax.random.split(key)
-    perm = epoch_permutation(kperm, images.shape[0], bs)
+    perm, tail = epoch_permutation(kperm, images.shape[0], bs)
 
-    def body(stateC, idx):
+    def one(stateC, idx):
         sub = jax.random.fold_in(kstep, stateC.step)
         if has_poison:
-            batch = (images[idx], labels[idx], poisoned[idx])
-            stateC, m = step_fn(stateC, paramsG, batch, sub)
-        else:
-            stateC, m = step_fn(stateC, (images[idx], labels[idx]), sub)
-        return stateC, m
+            return step_fn(stateC, paramsG, (images[idx], labels[idx], poisoned[idx]), sub)
+        return step_fn(stateC, (images[idx], labels[idx]), sub)
 
-    stateC, ms = jax.lax.scan(body, stateC, perm)
-    return stateC, jax.tree.map(lambda a: a.sum(0), ms)
+    stateC, ms = jax.lax.scan(one, stateC, perm)
+    metrics = jax.tree.map(lambda a: a.sum(0), ms)
+    if tail.shape[0]:
+        stateC, mt = one(stateC, tail)
+        metrics = jax.tree.map(jnp.add, metrics, mt)
+    return stateC, metrics
 
 
 @partial(jax.jit, static_argnames=("step_fn", "bs", "with_key", "with_pair"))

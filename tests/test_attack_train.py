@@ -116,6 +116,22 @@ def test_alternated_epoch_loss_decreases():
     assert losses[-1] < losses[0], losses
 
 
+def test_train_epoch_covers_ragged_tail():
+    """drop_last=False parity: a 19-row dataset at bs=8 trains on all 19 rows
+    (2 full batches in the scan + one 3-row tail step) and advances the
+    optimizer 3 times."""
+    cfg = make_cfg(bs=8, pc=0.5)
+    C, G, sC, sG, cm, nf = _setup_states(cfg)
+    step = make_alternated_train_step(cfg, C, G)
+    from combat_tpu.data import synthetic_dataset
+
+    ds = synthetic_dataset(cfg, True, n=19)
+    imgs, labs = jnp.asarray(ds.images), jnp.asarray(ds.labels)
+    sC2, sG2, m = train_epoch_alternated(step, sC, sG, cm, nf, imgs, labs, jax.random.key(0), 8)
+    assert float(m["sample"]) == 19.0
+    assert int(sC2.step) - int(sC.step) == 3
+
+
 def test_victim_step_uses_mask_not_dropping_rows():
     """The fixed version of reference train_victim.py:121: all rows train;
     poisoned rows get (trigger, bd_target), others (clean, y)."""
