@@ -72,24 +72,8 @@ def save_cam_pngs(img01: np.ndarray, cam: np.ndarray, out_dir: str, idx: int, pr
     """Write bd/cam/heatmap PNGs (reference show_cam_on_image:324-338) using a
     pure-numpy JET colormap (no cv2 dependency)."""
     import os
-    import struct
-    import zlib
 
-    def write_png(path, arr_u8):
-        h, w, c = arr_u8.shape
-        raw = b"".join(b"\x00" + arr_u8[i].tobytes() for i in range(h))
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-
-        def chunk(tag, data):
-            return struct.pack(">I", len(data)) + tag + data + struct.pack(
-                ">I", zlib.crc32(tag + data) & 0xFFFFFFFF
-            )
-
-        with open(path, "wb") as f:
-            f.write(b"\x89PNG\r\n\x1a\n")
-            f.write(chunk(b"IHDR", ihdr))
-            f.write(chunk(b"IDAT", zlib.compress(raw)))
-            f.write(chunk(b"IEND", b""))
+    from ..utils.png import write_png
 
     def jet(v):
         v = np.clip(v, 0, 1)

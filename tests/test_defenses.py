@@ -98,6 +98,24 @@ def test_guided_relu_blocks_negative_grads():
     assert gb.shape == (1, 32, 32, 3)
 
 
+def test_combine_images_collage(tmp_path):
+    """Neural-Cleanse trigger collage (reference combine_images.py analog):
+    per-label [mask|pattern|applied] columns joined with white gaps."""
+    import numpy as np
+
+    from combat_tpu.defenses.combine_images import build_collage, main
+
+    h = w = 8
+    for lab in range(3):
+        np.save(tmp_path / f"mask_{lab}.npy", np.random.rand(h, w).astype(np.float32))
+        np.save(tmp_path / f"pattern_{lab}.npy", np.random.rand(h, w, 3).astype(np.float32))
+    collage = build_collage(str(tmp_path))
+    assert collage.shape == (3 * h + 2, 3 * (w + 1) - 1, 3) and collage.dtype == np.uint8
+    out = main(["--result", str(tmp_path)])
+    with open(out, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
 def test_frequency_corruptions_and_step():
     key = jax.random.key(0)
     img = jax.random.uniform(jax.random.key(1), (32, 32, 3))
