@@ -74,10 +74,9 @@ def run(cfg: Config):
     if not os.path.exists(c_path):
         raise SystemExit(f"Error: {c_path} not found")
     payload = load_checkpoint(c_path)
-    varsC = {
-        "params": jax.tree.map(jnp.asarray, payload["netC"]["params"]),
-        "batch_stats": jax.tree.map(jnp.asarray, payload["netC"]["batch_stats"]),
-    }
+    varsC = {"params": jax.tree.map(jnp.asarray, payload["netC"]["params"])}
+    if "batch_stats" in payload["netC"]:  # absent for BN-free models (ViT)
+        varsC["batch_stats"] = jax.tree.map(jnp.asarray, payload["netC"]["batch_stats"])
 
     if not cfg.load_checkpoint:
         raise SystemExit("--load_checkpoint is required")

@@ -33,14 +33,15 @@ from combat_tpu.checkpoint import save_checkpoint  # noqa: E402
 from combat_tpu.checkpoint.torch_import import (  # noqa: E402
     convert_frequency_detector,
     convert_preact_resnet,
+    convert_timm_vit,
     convert_unet_generator,
     load_torch_file,
 )
 
 
-def main() -> None:
+def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--kind", choices=["frequency", "clean", "attack"], required=True)
+    ap.add_argument("--kind", choices=["frequency", "clean", "attack", "vit"], required=True)
     ap.add_argument("--src", required=True, help=".pth.tar path")
     ap.add_argument("--dataset", default="cifar10")
     ap.add_argument("--F_model", default="original")
@@ -48,7 +49,7 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="override output .ckpt path")
     ap.add_argument("--unsafe", action="store_true",
                     help="allow full (arbitrary-code) unpickling instead of weights_only")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     raw = load_torch_file(args.src, unsafe=args.unsafe)
     if args.kind == "frequency":
@@ -67,6 +68,15 @@ def main() -> None:
             "best_clean_acc": float(raw.get("best_clean_acc", 0.0)),
             "epoch_current": int(raw.get("epoch_current", 0)),
         }
+        out = args.out or os.path.splitext(args.src)[0] + ".ckpt"
+    elif args.kind == "vit":
+        # A timm VisionTransformer checkpoint (reference eval.py:24-47 uses
+        # timm's vit_small with pretrained weights): either the raw state
+        # dict (timm's .pth files) or nested under "netC".  Written in the
+        # eval-CLI layout so `cli/eval --model vitsmall
+        # --load_checkpoint_clean <name>` loads it directly.
+        sd = raw if "patch_embed.proj.weight" in raw else raw["netC"]
+        payload = {"netC": convert_timm_vit(sd)}
         out = args.out or os.path.splitext(args.src)[0] + ".ckpt"
     else:  # attack
         payload = {

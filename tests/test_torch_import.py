@@ -262,3 +262,71 @@ def test_shipped_cifar10_detector_import():
     with torch.no_grad():
         ref = tm(torch.from_numpy(np.asarray(feats).transpose(0, 3, 1, 2))).numpy()
     np.testing.assert_allclose(np.asarray(got), ref, atol=5e-3, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_vit_eval_cli_end_to_end(tmp_path, monkeypatch):
+    """Disk-to-metrics path for the reference's timm-ViT eval
+    (``eval.py:24-47``): torch-save a timm-layout vit_small state dict,
+    convert it with ``scripts/import_torch_ckpt.py --kind vit``, then drive
+    ``cli/eval --model vitsmall`` off the converted checkpoint."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import import_torch_ckpt
+
+    from combat_tpu.checkpoint import save_checkpoint
+    from combat_tpu.cli import eval as eval_cli
+    from combat_tpu.config import from_args
+    from combat_tpu.data import ArrayDataset
+
+    ck = tmp_path / "checkpoints"
+    # vitsmall registry geometry: image 32, patch 2, dim 384, depth 12, heads 6
+    tm = TorchTimmViT(img=32, patch=2, dim=384, depth=12, heads=6)
+    src = tmp_path / "vit_small.pth.tar"
+    torch.save(tm.state_dict(), str(src))
+    import_torch_ckpt.main([
+        "--kind", "vit", "--src", str(src),
+        "--out", str(ck / "vitckpt" / "cifar10" / "cifar10_vitckpt.ckpt"),
+    ])
+
+    # random-init generator checkpoint for eval's --load_checkpoint
+    from combat_tpu.models.generators import UnetGenerator
+
+    g = UnetGenerator()
+    varsG = g.init({"params": jax.random.key(0)}, jnp.zeros((1, 32, 32, 3)))
+    save_checkpoint(
+        str(ck / "gen" / "cifar10" / "cifar10_gen.ckpt"), {"netG": {"params": varsG["params"]}}
+    )
+
+    # shrink the synthetic test split so the ViT fwd passes stay CPU-cheap
+    import combat_tpu.cli.common as common
+    from combat_tpu.data.datasets import synthetic_dataset
+
+    monkeypatch.setattr(
+        common, "get_dataset",
+        lambda cfg, train, target_label=None: ArrayDataset(
+            *synthetic_dataset(cfg, train, n=64)
+        ),
+    )
+    cfg = from_args([
+        "--dataset", "cifar10", "--synthetic_data", "--model", "vitsmall", "--bs", "32",
+        "--load_checkpoint_clean", "vitckpt", "--load_checkpoint", "gen",
+        "--checkpoints", str(ck), "--temps", str(tmp_path / "temps"), "--saving_prefix", "vitev",
+    ])
+    acc, ba, asr = eval_cli.run(cfg)
+    for v in (acc, ba, asr):
+        assert np.isfinite(v) and 0.0 <= v <= 100.0
+
+    # CLI output parity against the torch twin on the same images
+    ds = synthetic_dataset(cfg, train=False, n=8)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(ds.images.transpose(0, 3, 1, 2))).numpy()
+    from combat_tpu.checkpoint import load_checkpoint
+    from combat_tpu.models.vit import VisionTransformer
+
+    tree = load_checkpoint(str(ck / "vitckpt" / "cifar10" / "cifar10_vitckpt.ckpt"))
+    got = VisionTransformer(image_size=32, patch_size=2, dim=384, depth=12, heads=6).apply(
+        jax.tree.map(jnp.asarray, tree["netC"]), jnp.asarray(ds.images), train=False
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=5e-3, rtol=1e-3)
