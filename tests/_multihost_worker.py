@@ -94,6 +94,18 @@ def main() -> None:
     if mode != "single":
         assert jax.process_count() == n_proc, jax.process_count()
     assert mesh.devices.size == 8, mesh.devices.size
+    # Establish the gloo context NOW, while the processes are still aligned
+    # from the initialize() rendezvous: the first cross-process collective
+    # triggers gloo init with a hard 30 s deadline, and the heavyweight step
+    # compile below would drift the workers far past it on a loaded host.
+    import numpy as np
+
+    from combat_tpu.train.mesh import batch_sharding
+
+    probe = jax.make_array_from_callback(
+        (8,), batch_sharding(mesh), lambda idx: np.ones((8,), np.float32)[idx]
+    )
+    assert float(jax.jit(lambda a: a.sum())(probe)) == 8.0
     metrics = build_and_step(mesh)
     print(f"MULTIHOST_METRICS loss_ce={metrics['loss_ce']:.6f} sample={metrics['sample']:.1f}")
 
