@@ -1,0 +1,80 @@
+"""Defense-evidence suite: victim vs benign side-by-side (internal tool).
+
+Runs Neural Cleanse and STRIP against BOTH the attacked victim and the
+benign clean classifier on the same data (VERDICT r2 weak #3: publish
+calibrated benign baselines so "evaded" is relative to a detector that is
+sane on clean models), plus fine-pruning on the victim and the reversed-
+trigger collage.
+
+Env: VICTIM_PREFIX (e.g. r11_victim — its checkpoint folder is
+<prefix>_clean), CLEAN_PREFIX (clean-classifier run folder, e.g.
+r11_clean_cls), NC_EPOCHS (default 50), OUT (default quality_logs/defenses).
+
+The clean classifier saves under ``checkpoints/<prefix>/`` (no ``_clean``
+suffix — reference ``train_clean_classifier.py:191-193``) while the defense
+CLIs resolve ``<saving_prefix>_clean`` (they take attack-run prefixes,
+reference ``defenses/*/config.py``); the benign baseline therefore gets a
+``benign_clean``-named copy of the clean checkpoint.
+"""
+
+import contextlib
+import io
+import os
+import shutil
+import sys
+
+sys.path.insert(0, ".")
+
+VICTIM = os.environ.get("VICTIM_PREFIX", "r11_victim")
+CLEAN = os.environ.get("CLEAN_PREFIX", "r11_clean_cls")
+NC_EPOCHS = os.environ.get("NC_EPOCHS", "50")
+OUT = os.environ.get("OUT", "./quality_logs/defenses")
+
+
+def tee(name, fn, argv):
+    os.makedirs(OUT, exist_ok=True)
+    path = os.path.join(OUT, name)
+    buf = io.StringIO()
+    print(f"--- {name}: {argv}")
+    with contextlib.redirect_stdout(buf):
+        fn(argv)
+    text = buf.getvalue()
+    with open(path, "w") as f:
+        f.write(text)
+    print(text[-1500:])
+    return text
+
+
+def main():
+    # benign copy under the <prefix>_clean scheme the defense CLIs resolve
+    src = os.path.join("./checkpoints", CLEAN, "cifar10")
+    dst = os.path.join("./checkpoints", "benign_clean", "cifar10")
+    if not os.path.isdir(dst):
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copytree(src, dst)
+        shutil.move(
+            os.path.join(dst, f"cifar10_{CLEAN}.ckpt"),
+            os.path.join(dst, "cifar10_benign_clean.ckpt"),
+        )
+
+    from combat_tpu.defenses import combine_images, fine_pruning, neural_cleanse, strip
+
+    common = ["--dataset", "cifar10", "--synthetic_data", "--bs", "128", "--seed", "1"]
+    nc = ["--nc_epochs", NC_EPOCHS]
+    tee(f"neural_cleanse_{VICTIM}.txt", neural_cleanse.main,
+        common + nc + ["--saving_prefix", VICTIM])
+    tee("neural_cleanse_benign.txt", neural_cleanse.main,
+        common + nc + ["--saving_prefix", "benign"])
+    strip_common = common + ["--n_sample", "64", "--n_test", "64", "--test_rounds", "2"]
+    tee(f"strip_{VICTIM}.txt", strip.main,
+        strip_common + ["--saving_prefix", VICTIM, "--strip_mode", "attack"])
+    tee("strip_benign.txt", strip.main,
+        strip_common + ["--saving_prefix", "benign", "--strip_mode", "clean"])
+    tee(f"fine_pruning_{VICTIM}.txt", fine_pruning.main,
+        common + ["--saving_prefix", VICTIM])
+    combine_images.main(["--saving_prefix", VICTIM, "--dataset", "cifar10"])
+    print("defense evidence complete")
+
+
+if __name__ == "__main__":
+    main()
