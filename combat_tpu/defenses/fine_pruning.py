@@ -82,7 +82,14 @@ def pruning_sweep(
         totals, _ = jax.lax.scan(body, jnp.zeros((2,), jnp.float32), (xb, yb, jnp.arange(steps)))
         return totals * 100.0 / (steps * bs)
 
-    return jax.lax.map(eval_with_mask, masks)
+    # Chunked dispatch: one monolithic 513-mask ``lax.map`` crashes the TPU
+    # worker (program too large); 9 equal 57-mask chunks share ONE compiled
+    # executable (same chunk shape) and sweep identically.
+    n_masks = masks.shape[0]  # n_ch + 1 = 513
+    chunk = 57 if n_masks % 57 == 0 else 1
+    eval_chunk = jax.jit(lambda ms: jax.lax.map(eval_with_mask, ms))
+    outs = [eval_chunk(masks[i : i + chunk]) for i in range(0, n_masks, chunk)]
+    return jnp.concatenate(outs, axis=0)
 
 
 def main(argv=None):
