@@ -89,13 +89,25 @@ def main():
         "images occupy (CIFAR-10's near-perfect reference ASR coexists with",
         "content features that are weak for a sizable fraction of images).",
         "",
-        "## Defense evasion (r9 victim, full-depth runs; raw outputs in quality_logs/defenses/)",
+        "## Defense evasion — r11 victim vs benign clean model, side by side",
         "",
-        "| defense | result |",
-        "|---|---|",
-        "| Neural Cleanse (50-epoch mask reverse-engineering x 10 labels) | anomaly index **0.72** (< 2) -> NOT flagged: the target label's reversed-trigger norm is not an outlier |",
-        "| Fine-pruning (channel sweep on layer4) | ASR holds 96.9% through pruning until clean acc itself collapses (clean 73->23 before ASR drops) |",
-        "| STRIP (64 overlays x 64 images x 2 rounds) | trojan entropies (mean .0057) fully overlap benign (mean .0042) - no discriminative signal; the absolute 0.2 threshold fires for benign inputs too on this distribution (calibrated for CIFAR confidence levels) |",
+        "Full-depth runs of every defense CLI against BOTH the attacked r11",
+        "victim and the benign clean classifier on the same data",
+        "(`scripts/run_defense_evidence.py`; raw outputs in",
+        "quality_logs/defenses/).  The benign column calibrates each detector:",
+        '"evaded" is relative to a detector that is sane on clean models.',
+        "",
+        "| defense | r11 victim (ASR 99.2) | benign clean model | verdict |",
+        "|---|---|---|---|",
+        "| Neural Cleanse (50-epoch reverse-engineering x 10 labels, MAD) | anomaly index **0.81** | anomaly index 1.42 | NOT flagged — the victim scores LOWER than the benign model |",
+        "| STRIP (64 overlays x 64 images x 2 rounds, min-entropy < 0.2) | min entropy 0.029 | min entropy 5.4e-7 | no signal — the absolute threshold fires for the benign model too (synthetic confidences are sharper than CIFAR's), and the victim's entropy is HIGHER than benign |",
+        "| Fine-pruning (513-step layer4 channel sweep) | ASR >= 98.3% through 447 pruned channels; ASR falls only at step 509+ where clean acc has collapsed 69 -> 30 | — | pruning cannot remove the backdoor without destroying the model |",
+        "| Grad-CAM (victim vs clean model on triggered images) | PNGs under quality_logs/defenses/gradcam/ | same images, clean model | victim attention is diffuse and image-dependent with no fixed trigger locus across images (the trigger is global low-frequency, not a localizable patch) |",
+        "| Reversed-trigger collage (combine_images parity) | quality_logs/defenses/r11_triggers.png | — | 10 reversed (mask, pattern) pairs |",
+        "",
+        "(Round-2 history: the same suite on the r9 victim gave NC 0.72, ASR",
+        "96.9% under pruning, overlapping STRIP entropies — see git history of",
+        "this table.)",
         "",
     ]
     for p in prefixes:

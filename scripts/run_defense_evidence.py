@@ -72,6 +72,10 @@ def main():
         strip_common + ["--saving_prefix", "benign", "--strip_mode", "clean"])
     tee(f"fine_pruning_{VICTIM}.txt", fine_pruning.main,
         common + ["--saving_prefix", VICTIM])
+    from combat_tpu.defenses import gradcam
+
+    tee(f"gradcam_{VICTIM}.txt", gradcam.main,
+        common + ["--saving_prefix", VICTIM, "--load_checkpoint_clean", CLEAN])
     combine_images.main(["--saving_prefix", VICTIM, "--dataset", "cifar10"])
     print("defense evidence complete")
 
