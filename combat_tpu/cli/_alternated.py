@@ -174,6 +174,10 @@ def run_alternated(cfg: Config, spec: AlternatedSpec):
                 txG = sgd_torch(multistep_lr(cfg.lr_G, cfg.schedulerG_milestones, cfg.schedulerG_lambda, saved_spe))
             stateC = stateC.replace(tx=txC)
             stateG = stateG.replace(tx=txG)
+            # persist the spe the active schedules are actually bound to, so
+            # a SECOND resume rebuilds on the same boundaries (payload_of
+            # closes over spe)
+            spe = saved_spe
         stateC = stateC.replace(
             params=payload["netC"]["params"], batch_stats=payload["netC"]["batch_stats"],
             opt_state=payload["optimizerC"], step=jnp.asarray(payload["schedulerC"]["step"]),

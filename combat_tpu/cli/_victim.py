@@ -110,6 +110,9 @@ def run_victim(cfg: Config, spec: VictimSpec):
             stateC = stateC.replace(
                 tx=sgd_torch(multistep_lr(cfg.lr_C, cfg.schedulerC_milestones, cfg.schedulerC_lambda, saved_spe))
             )
+            # persist the spe the active schedule is actually bound to
+            # (payload_of closes over spe) so a second resume is stable
+            spe = saved_spe
         stateC = stateC.replace(
             params=payload["netC"]["params"], batch_stats=payload["netC"]["batch_stats"],
             opt_state=payload["optimizerC"], step=jnp.asarray(payload["schedulerC"]["step"]),

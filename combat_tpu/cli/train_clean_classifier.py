@@ -83,6 +83,9 @@ def run(cfg: Config) -> float:
             stateC = stateC.replace(
                 tx=sgd_torch(multistep_lr(cfg.lr_C, cfg.schedulerC_milestones, cfg.schedulerC_lambda, saved_spe))
             )
+            # persist the spe the active schedule is actually bound to so a
+            # second resume rebuilds on the same milestone boundaries
+            spe = saved_spe
         stateC = stateC.replace(
             params=payload["netC"]["params"],
             batch_stats=payload["netC"]["batch_stats"],

@@ -83,13 +83,17 @@ def pruning_sweep(
         return totals * 100.0 / (steps * bs)
 
     # Chunked dispatch: one monolithic 513-mask ``lax.map`` crashes the TPU
-    # worker (program too large); 9 equal 57-mask chunks share ONE compiled
-    # executable (same chunk shape) and sweep identically.
-    n_masks = masks.shape[0]  # n_ch + 1 = 513
-    chunk = 57 if n_masks % 57 == 0 else 1
+    # worker (program too large).  Pad the mask count up to a multiple of a
+    # fixed chunk size so every dispatch shares ONE compiled executable
+    # (padding repeats the last mask; the extra rows are sliced off).  For
+    # the PreActResNet layer4 width this is 9 equal 57-mask chunks.
+    n_masks = masks.shape[0]  # n_ch + 1
+    chunk = min(57, n_masks)
+    pad = (-n_masks) % chunk
+    padded = jnp.concatenate([masks, jnp.repeat(masks[-1:], pad, axis=0)], axis=0) if pad else masks
     eval_chunk = jax.jit(lambda ms: jax.lax.map(eval_with_mask, ms))
-    outs = [eval_chunk(masks[i : i + chunk]) for i in range(0, n_masks, chunk)]
-    return jnp.concatenate(outs, axis=0)
+    outs = [eval_chunk(padded[i : i + chunk]) for i in range(0, padded.shape[0], chunk)]
+    return jnp.concatenate(outs, axis=0)[:n_masks]
 
 
 def main(argv=None):

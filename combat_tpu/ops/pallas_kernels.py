@@ -71,7 +71,10 @@ def _fused_trigger_bwd_kernel(g_ref, u_ref, d_ref, dt_ref, mask_ref, b_ref, bt_r
     g = g_ref[0]
     d = d_ref[:]
     dt = dt_ref[:]
-    gc = jnp.dot(jnp.dot(bt_ref[:].T, g, preferred_element_type=jnp.float32), b_ref[:].T,
+    # blur fwd is c -> B c B^T, so the cotangent map is g -> B^T g B; the
+    # refs already hold bt_ref = B^T and b_ref = B, so NO in-kernel
+    # transposes (B is NOT symmetric at the reflect-padded boundary rows)
+    gc = jnp.dot(jnp.dot(bt_ref[:], g, preferred_element_type=jnp.float32), b_ref[:],
                  preferred_element_type=jnp.float32)
     u = u_ref[0]
     gu = gc * ((u >= -1.0) & (u <= 1.0)).astype(jnp.float32)

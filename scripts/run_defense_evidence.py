@@ -49,13 +49,16 @@ def main():
     # benign copy under the <prefix>_clean scheme the defense CLIs resolve
     src = os.path.join("./checkpoints", CLEAN, "cifar10")
     dst = os.path.join("./checkpoints", "benign_clean", "cifar10")
-    if not os.path.isdir(dst):
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        shutil.copytree(src, dst)
-        shutil.move(
-            os.path.join(dst, f"cifar10_{CLEAN}.ckpt"),
-            os.path.join(dst, "cifar10_benign_clean.ckpt"),
-        )
+    # always refresh: a stale copy from an earlier run with a different
+    # CLEAN_PREFIX would silently miscalibrate the benign baselines
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    shutil.copytree(src, dst)
+    shutil.move(
+        os.path.join(dst, f"cifar10_{CLEAN}.ckpt"),
+        os.path.join(dst, "cifar10_benign_clean.ckpt"),
+    )
 
     from combat_tpu.defenses import combine_images, fine_pruning, neural_cleanse, strip
 

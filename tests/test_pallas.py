@@ -71,9 +71,13 @@ def test_fused_trigger_pallas_vjp_matches_xla_chain():
     x = jax.random.uniform(jax.random.key(5), (2, 32, 32, 3), minval=-1, maxval=1)
     noise = jax.random.uniform(jax.random.key(6), (2, 32, 32, 3), minval=-1, maxval=1)
     key = jax.random.key(9)
+    # Pin a LARGE sigma: at small sigma the blur matrix is near-identity and
+    # this test cannot distinguish B^T g B from B g B^T (the reflect-padded
+    # B is asymmetric only at boundary rows) — a wrong blur adjoint passed
+    # the old sigma=(0.1, 1.0) draw (~0.14) within atol.
     trig = partial(
         additive_trigger, image_size=32, ratio=0.65, noise_rate=0.08,
-        kernel_size=3, sigma=(0.1, 1.0),
+        kernel_size=3, sigma=(0.9, 0.9001),
     )
 
     def loss(fused):

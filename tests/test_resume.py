@@ -36,6 +36,14 @@ def test_resume_lr_milestones_and_old_checkpoint_compat(tmp_path, monkeypatch):
     # milestone boundaries keep their original epoch positions.
     import combat_tpu.cli.train_clean_classifier as tcc
 
+    from combat_tpu.checkpoint import load_checkpoint, save_checkpoint
+
+    path = os.path.join(ck, "rsm", "cifar10", "cifar10_rsm.ckpt")
+    # zero the best-acc gate so the resumed run is guaranteed to save
+    payload = load_checkpoint(path)
+    payload["best_clean_acc"] = 0.0
+    save_checkpoint(path, payload)
+
     spe_calls = []
     real = tcc.multistep_lr
     monkeypatch.setattr(
@@ -46,10 +54,12 @@ def test_resume_lr_milestones_and_old_checkpoint_compat(tmp_path, monkeypatch):
     assert spe_calls == [5, 8], spe_calls  # construction at 5, rebuilt on saved 8
     monkeypatch.undo()
 
-    # Old-vintage checkpoint (no scheduler_steps_per_epoch key) still resumes.
-    from combat_tpu.checkpoint import load_checkpoint, save_checkpoint
+    # The resumed run must persist the spe its rebuilt schedule is actually
+    # bound to (8), not the current run's 5 — otherwise a SECOND resume
+    # rebuilds on the wrong value and the milestone boundaries shift.
+    assert int(load_checkpoint(path)["scheduler_steps_per_epoch"]) == 8
 
-    path = os.path.join(ck, "rsm", "cifar10", "cifar10_rsm.ckpt")
+    # Old-vintage checkpoint (no scheduler_steps_per_epoch key) still resumes.
     payload = load_checkpoint(path)
     payload.pop("scheduler_steps_per_epoch")
     save_checkpoint(path, payload)
