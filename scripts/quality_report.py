@@ -35,6 +35,45 @@ def fmt_traj(recs, keys, every):
     return rows
 
 
+def variant_section(log="./quality_logs/variants/run.log"):
+    """Parse scripts/quality_run_variants.py output into a summary table."""
+    import ast
+    import re
+
+    if not os.path.exists(log):
+        return []
+    gen, vic = {}, {}
+    for line in open(log):
+        m = re.match(r"(\w+) (generator|victim) best: (\{.*\})", line.strip())
+        if m:
+            (gen if m.group(2) == "generator" else vic)[m.group(1)] = ast.literal_eval(m.group(3))
+    if not vic:
+        return []
+    rows = []
+    for name, v in vic.items():
+        g = gen.get(name, {})
+        cross = f" | cross {v['best_cross_acc']:.2f}" if "best_cross_acc" in v else ""
+        rows.append(
+            f"| {name} | {g.get('best_clean_acc', float('nan')):.2f} / "
+            f"{g.get('best_bd_acc', float('nan')):.2f} | "
+            f"{v.get('best_clean_acc', float('nan')):.2f} | "
+            f"{v.get('best_bd_acc', float('nan')):.2f}{cross} |"
+        )
+    return [
+        "## Trigger-variant pipelines (round 3, full 400-epoch generator→victim runs)",
+        "",
+        "`scripts/quality_run_variants.py` at the canonical operating point on the",
+        "same v10 synthetic data and clean classifier as `r11` (raw log:",
+        "quality_logs/variants/run.log).  Victim Bd Acc is the victim script's",
+        "eval-time ASR over non-target test images.",
+        "",
+        "| variant | surrogate clean / bd (gen stage) | victim Clean Acc | victim ASR |",
+        "|---|---|---|---|",
+        *rows,
+        "",
+    ]
+
+
 def main():
     prefixes = sys.argv[1:] or ["r5"]
     out = [
@@ -110,6 +149,7 @@ def main():
         "this table.)",
         "",
     ]
+    out += variant_section()
     for p in prefixes:
         gen = test_records(stage_log(p, "atk"))
         vic = test_records(stage_log(p, "victim"))
