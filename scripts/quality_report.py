@@ -52,7 +52,7 @@ def variant_section(log="./quality_logs/variants/run.log"):
     rows = []
     for name, v in vic.items():
         g = gen.get(name, {})
-        cross = f" | cross {v['best_cross_acc']:.2f}" if "best_cross_acc" in v else ""
+        cross = f" (cross acc {v['best_cross_acc']:.2f})" if "best_cross_acc" in v else ""
         rows.append(
             f"| {name} | {g.get('best_clean_acc', float('nan')):.2f} / "
             f"{g.get('best_bd_acc', float('nan')):.2f} | "
