@@ -74,6 +74,55 @@ def variant_section(log="./quality_logs/variants/run.log"):
     ]
 
 
+def frequency_section(logdir="./quality_logs"):
+    """Parse the round-3 frequency-detector evidence logs (run_r3_queue.sh)."""
+    import re
+
+    def detector_best(path):
+        best = None
+        if os.path.exists(path):
+            for line in open(path):
+                m = re.search(r"Best: ([\d.]+)", line)
+                if m:
+                    best = float(m.group(1))
+        return best
+
+    def eval_line(path):
+        if os.path.exists(path):
+            for line in open(path):
+                m = re.search(r"Clean classified clean: ([\d.]+) \| Triggered detected: ([\d.]+)", line)
+                if m:
+                    return float(m.group(1)), float(m.group(2))
+        return None
+
+    trained_best = detector_best(f"{logdir}/frequency_train_r3.log")
+    ref = eval_line(f"{logdir}/frequency_eval_refdet_r3.log")
+    fresh = eval_line(f"{logdir}/frequency_eval_trained_r3.log")
+    if ref is None and fresh is None:
+        return []
+    rows = []
+    if ref:
+        rows.append(f"| shipped reference detector (torch `.pth.tar` import) | {ref[0]:.2f} | **{ref[1]:.2f}** |")
+    if fresh:
+        cal = f" (test acc {trained_best:.2f} on its corruption distribution)" if trained_best else ""
+        rows.append(f"| freshly trained detector{cal} | {fresh[0]:.2f} | **{fresh[1]:.2f}** |")
+    return [
+        "## Frequency-based defense (DCT detector) — end-to-end",
+        "",
+        "`combat_tpu.defenses.frequency_train` + `frequency_eval` against the",
+        "r11 generator's trigger (reference `defenses/frequency_based/{train,test}.py`;",
+        "raw logs quality_logs/frequency_*_r3.log).  'Triggered detected' is the",
+        "fraction of G-triggered test images the detector flags as poisoned —",
+        "low means the low-frequency-constrained trigger evades the detector",
+        "(the core COMBAT design claim, reference `README.md:3`).",
+        "",
+        "| detector | clean images classified clean (%) | triggered images detected (%) |",
+        "|---|---|---|",
+        *rows,
+        "",
+    ]
+
+
 def main():
     prefixes = sys.argv[1:] or ["r5"]
     out = [
@@ -150,6 +199,7 @@ def main():
         "",
     ]
     out += variant_section()
+    out += frequency_section()
     for p in prefixes:
         gen = test_records(stage_log(p, "atk"))
         vic = test_records(stage_log(p, "victim"))
