@@ -129,6 +129,9 @@ class Config:
     log_every: int = 1
     image_every: int = 20  # clean-vs-triggered image grid cadence (train_generator.py:310-315)
     synthetic_data: bool = False  # deterministic synthetic dataset (no-network envs)
+    # override the synthetic split sizes (train=N, test=N//5; 0 = CIFAR-scale
+    # 50k/10k) — makes full quality pipelines tractable at 224px on one chip
+    synthetic_size: int = 0
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -128,10 +128,13 @@ def synthetic_dataset(
     makes a poisoned victim absorb the trigger as a feature.  Clean test
     accuracy lands in the 60–75% band with victim clean-acc parity, and
     victim ASR reaches the high-90s at the canonical operating point.
-    Split sizes match CIFAR-10 (50k/10k).  Seeded independently of the
-    model/poison PRNG chain."""
+    Split sizes match CIFAR-10 (50k/10k) unless ``--synthetic_size`` caps
+    them.  Seeded independently of the model/poison PRNG chain."""
     if n is None:
-        n = 50000 if train else 10000
+        if cfg.synthetic_size:
+            n = cfg.synthetic_size if train else max(cfg.synthetic_size // 5, 1)
+        else:
+            n = 50000 if train else 10000
     h, w, c, k = cfg.input_height, cfg.input_width, cfg.input_channel, cfg.num_classes
     modes = 4  # class-template modes (multi-modal classes)
     rng = np.random.RandomState(12345 if train else 54321)

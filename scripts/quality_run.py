@@ -19,11 +19,12 @@ EPOCHS_CLEAN = int(os.environ.get("Q_EPOCHS_CLEAN", 100))
 EPOCHS_GEN = int(os.environ.get("Q_EPOCHS_GEN", 200))
 EPOCHS_VICTIM = int(os.environ.get("Q_EPOCHS_VICTIM", 100))
 PREFIX = os.environ.get("Q_PREFIX", "q")
+DATASET = os.environ.get("Q_DATASET", "cifar10")
 
 COMMON = [
-    "--dataset", "cifar10", "--synthetic_data", "--bs", "128",
+    "--dataset", DATASET, "--synthetic_data", "--bs", os.environ.get("Q_BS", "128"),
     "--compute_dtype", "bfloat16", "--seed", "1",
-]
+] + os.environ.get("Q_EXTRA", "").split()
 
 
 def main():

@@ -181,3 +181,16 @@ def test_best_gates():
     assert best_gate_attack(90.0, 10.0, 89.0, 99.0)  # higher clean wins
     assert best_gate_attack(89.0, 99.5, 89.0, 99.0)  # tie on clean, higher bd
     assert not best_gate_attack(89.0, 98.0, 89.0, 99.0)
+
+
+def test_synthetic_size_override():
+    """--synthetic_size N caps the splits at N train / N//5 test rows (the
+    knob that makes 224px full pipelines tractable on one chip)."""
+    from combat_tpu.data import synthetic_dataset
+
+    cfg = make_cfg(bs=8).replace(synthetic_size=40)
+    assert len(synthetic_dataset(cfg, True)) == 40
+    assert len(synthetic_dataset(cfg, False)) == 8
+    # explicit n still wins; 0 keeps the CIFAR-scale default
+    assert len(synthetic_dataset(cfg, True, n=16)) == 16
+    assert len(synthetic_dataset(cfg.replace(synthetic_size=0), False)) == 10000
