@@ -123,6 +123,48 @@ def frequency_section(logdir="./quality_logs"):
     ]
 
 
+def multires_section(logdir="./quality_logs"):
+    """Parse the 64px/224px full-pipeline logs (run_r3_after_outage.sh)."""
+    import re
+
+    runs = [
+        ("celeba 64px (full 50k/10k synthetic splits, canonical 60+200+100 epochs)",
+         f"{logdir}/quality_celeba_r3.log"),
+        ("imagenet10 224px (4k/800 synthetic splits, 30+60+40 epochs, bs=32)",
+         f"{logdir}/quality_imagenet10_r3.log"),
+    ]
+    rows = []
+    for label, path in runs:
+        if not os.path.exists(path):
+            continue
+        clean_base, final = None, None
+        for line in open(path):
+            m = re.search(r"clean classifier best acc: ([\d.]+)", line)
+            if m:
+                clean_base = float(m.group(1))
+            m = re.search(r"FINAL: Clean Acc ([\d.]+) \| Bd BA ([\d.]+) \| Bd ASR ([\d.]+)", line)
+            if m:
+                final = tuple(float(g) for g in m.groups())
+        if final:
+            base = f"{clean_base:.2f}" if clean_base is not None else "—"
+            rows.append(f"| {label} | {base} | {final[0]:.2f} | {final[1]:.2f} | **{final[2]:.2f}** |")
+    if not rows:
+        return []
+    return [
+        "## Multi-resolution pipelines (64px CelebA-geometry, 224px ImageNet10-geometry)",
+        "",
+        "The same end-to-end pipeline at the reference's other two dataset",
+        "geometries (reference `README.md:3` claims CIFAR-10/CelebA/ImageNet-10),",
+        "on the synthetic distribution at each geometry (raw logs",
+        "quality_logs/quality_{celeba,imagenet10}_r3.log).",
+        "",
+        "| run | clean-model baseline | victim Clean Acc | Bd BA | Bd ASR |",
+        "|---|---|---|---|---|",
+        *rows,
+        "",
+    ]
+
+
 def main():
     prefixes = sys.argv[1:] or ["r5"]
     out = [
@@ -200,6 +242,7 @@ def main():
     ]
     out += variant_section()
     out += frequency_section()
+    out += multires_section()
     for p in prefixes:
         gen = test_records(stage_log(p, "atk"))
         vic = test_records(stage_log(p, "victim"))
