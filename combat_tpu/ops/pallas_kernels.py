@@ -24,6 +24,7 @@ folding the trigger clamp+blur into the same VMEM residency).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .dct import _dct_matrix_np
+
+
+def _interpret() -> bool:
+    """COMBAT_PALLAS_INTERPRET=1 runs the kernels in Pallas interpreter mode
+    (any backend) — used by the test suite to validate the kernel math and
+    the custom VJPs on CPU; production TPU runs leave it unset (Mosaic)."""
+    return os.environ.get("COMBAT_PALLAS_INTERPRET", "") == "1"
 
 
 def _blur_matrix(kern: jnp.ndarray, h: int) -> jnp.ndarray:
@@ -133,6 +141,7 @@ def _fused_trigger_impl(x, noise, B, image_size, ratio, noise_rate):
         in_specs=[_plane_spec(h, w), _plane_spec(h, w), _mat_spec(h, h), _mat_spec(h, h),
                   _mat_spec(h, w), _mat_spec(h, h), _mat_spec(h, h)],
         out_specs=(_plane_spec(h, w), _plane_spec(h, w)),
+        interpret=_interpret(),
     )(planes_x, planes_n, d, d.T, mask, Bf, Bf.T)
     return out.reshape(n, c, h, w).transpose(0, 2, 3, 1).astype(x.dtype), u
 
@@ -160,6 +169,7 @@ def _fused_trigger_vjp_bwd(image_size, ratio, noise_rate, res, g):
         in_specs=[_plane_spec(h, w), _plane_spec(h, w), _mat_spec(h, h), _mat_spec(h, h),
                   _mat_spec(h, w), _mat_spec(h, h), _mat_spec(h, h)],
         out_specs=(_plane_spec(h, w), _plane_spec(h, w)),
+        interpret=_interpret(),
     )(planes_g, u, d, d.T, mask, Bf, Bf.T)
     to_img = lambda p: p.reshape(n, c, h, w).transpose(0, 2, 3, 1).astype(dtype)
     return to_img(gx), to_img(gn), jnp.zeros_like(B)
@@ -223,5 +233,6 @@ def _low_freq_pallas_impl(x: jnp.ndarray, image_size: int, ratio: float) -> jnp.
             pl.BlockSpec((h, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
     )(planes, d, d.T, mask)
     return out.reshape(n, c, h, w).transpose(0, 2, 3, 1).astype(x.dtype)

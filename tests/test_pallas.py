@@ -1,11 +1,15 @@
-"""Pallas fused low-pass kernel: parity with the pure-JAX formulation and
-VJP correctness (the filter is self-adjoint linear).  Runs only when a TPU
-backend is available — Mosaic kernels don't execute on the CPU test backend."""
+"""Pallas fused low-pass / fused-trigger kernels: parity with the pure-JAX
+formulation and VJP correctness (the low-pass is self-adjoint linear; the
+blur adjoint is B^T g B).  On a TPU backend the kernels run under Mosaic;
+on the CPU test backend they fall back to Pallas interpreter mode
+(COMBAT_PALLAS_INTERPRET=1) — same kernel bodies, same math."""
+
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
+
 
 def _tpu_available() -> bool:
     try:
@@ -14,9 +18,8 @@ def _tpu_available() -> bool:
         return False
 
 
-tpu_available = _tpu_available()
-
-pytestmark = pytest.mark.skipif(not tpu_available, reason="pallas TPU kernel needs a TPU backend")
+if not _tpu_available():
+    os.environ["COMBAT_PALLAS_INTERPRET"] = "1"
 
 
 def test_low_freq_pallas_matches_xla():
