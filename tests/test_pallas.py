@@ -93,3 +93,30 @@ def test_fused_trigger_pallas_vjp_matches_xla_chain():
     gx, gn = loss(True)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), atol=5e-5)
     np.testing.assert_allclose(np.asarray(gn), np.asarray(gn_ref), atol=5e-5)
+
+
+def test_alternated_step_with_pallas_trigger_runs():
+    """Step-level wiring: --pallas_trigger routes the alternated train step's
+    trigger chain through the fused kernel and the step still trains (both
+    optimizer states advance, finite loss)."""
+    from combat_tpu.config import Config, apply_dataset_preset
+    from combat_tpu.models import get_classifier, get_frequency_detector, get_generator
+    from combat_tpu.train import init_frozen, init_train_state, make_alternated_train_step, multistep_lr, sgd_torch
+
+    cfg = apply_dataset_preset(Config(dataset="cifar10", synthetic_data=True)).replace(
+        bs=4, pallas_trigger=True
+    )
+    C, G, F = get_classifier(cfg), get_generator(cfg, "unet"), get_frequency_detector(cfg)
+    key = jax.random.key(0)
+    sample = jnp.zeros((1, 32, 32, 3))
+    tx = sgd_torch(multistep_lr(0.01, (100,), 0.1, 10))
+    sC = init_train_state(C, key, sample, tx)
+    sG = init_train_state(G, jax.random.key(1), sample, tx)
+    cm = init_frozen(C, jax.random.key(2), sample)
+    nf = init_frozen(F, jax.random.key(3), sample)
+    step = make_alternated_train_step(cfg, C, G)
+    x = jax.random.uniform(jax.random.key(4), (4, 32, 32, 3), minval=-1, maxval=1)
+    y = jnp.array([0, 1, 2, 3])
+    sC2, sG2, m = step(sC, sG, cm, nf, (x, y), jax.random.key(5))
+    assert int(sC2.step) == int(sC.step) + 1 and int(sG2.step) == int(sG.step) + 1
+    assert np.isfinite(float(m["loss_ce"]))
