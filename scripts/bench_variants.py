@@ -11,18 +11,50 @@ Run on the TPU (serialize with other TPU work):
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import PEAK_BF16  # single source of truth for per-chip peaks
 
 BATCH = 128
 STEPS = 64
 
-PEAK_BF16 = {"TPU v5 lite": 197e12, "TPU v5": 459e12, "TPU v4": 275e12, "TPU v6 lite": 918e12}
+_X1 = None  # set in main() once BATCH geometry is known
+_Y1 = None
+
+
+def lower_flops(step, *args):
+    """FLOPs/img from the compiled executable's cost model (None if the
+    backend has no cost model)."""
+    try:
+        compiled = jax.jit(step).lower(*args).compile()
+        return float(compiled.cost_analysis().get("flops", 0.0)) / BATCH
+    except Exception:
+        return None
+
+
+def timed_row(name, run_epoch, carry, flops, peak):
+    """Warm-up epoch, then one timed scan epoch (value-read fenced)."""
+    carry, m = run_epoch(*carry, jax.random.key(10))
+    float(m["loss_ce"])  # value-read fence
+    t0 = time.perf_counter()
+    carry, m = run_epoch(*carry, jax.random.key(11))
+    float(m["loss_ce"])
+    dt = time.perf_counter() - t0
+    img_s = BATCH * STEPS / dt
+    row = {"variant": name, "img_s_chip": round(img_s, 1)}
+    if flops:
+        row["gflops_per_img"] = round(flops / 1e9, 2)
+        if peak:
+            row["mfu"] = round(flops * img_s / peak, 3)
+    print(json.dumps(row))
+    return row
 
 
 def main():
@@ -76,35 +108,23 @@ def main():
         "multilabel (per-class)": ("cunet", make_multilabel_train_step, train_epoch_alternated,
                                    (jnp.zeros((1,), jnp.int32),)),
     }
+    global _X1, _Y1
+    _X1 = jnp.zeros((BATCH, 32, 32, 3))
+    _Y1 = jnp.zeros((BATCH,), jnp.int32)
     rows = []
     for name, (gkind, mk_step, runner, g_extra) in variants.items():
         G = get_generator(cfg, gkind)
         stateC = init_train_state(C, key, sample, tx(cfg.lr_C))
         stateG = init_train_state(G, jax.random.key(1), sample, tx(cfg.lr_G), extra_args=g_extra)
         step = mk_step(cfg, C, G)
-        flops = None
-        try:
-            x1 = jnp.zeros((BATCH, 32, 32, 3))
-            y1 = jnp.zeros((BATCH,), jnp.int32)
-            batch = (x1, y1, x1) if runner is train_epoch_alternated_pair else (x1, y1)
-            compiled = jax.jit(step).lower(stateC, stateG, clean_model, netF, batch, key).compile()
-            flops = float(compiled.cost_analysis().get("flops", 0.0)) / BATCH
-        except Exception:
-            pass
-        sC, sG, m = runner(step, stateC, stateG, clean_model, netF, images, labels, jax.random.key(10), BATCH)
-        float(m["loss_ce"])  # value-read fence
-        t0 = time.perf_counter()
-        sC, sG, m = runner(step, sC, sG, clean_model, netF, images, labels, jax.random.key(11), BATCH)
-        float(m["loss_ce"])
-        dt = time.perf_counter() - t0
-        img_s = BATCH * STEPS / dt
-        row = {"variant": name, "img_s_chip": round(img_s, 1)}
-        if flops:
-            row["gflops_per_img"] = round(flops / 1e9, 2)
-            if peak:
-                row["mfu"] = round(flops * img_s / peak, 3)
-        rows.append(row)
-        print(json.dumps(row))
+        batch = (_X1, _Y1, _X1) if runner is train_epoch_alternated_pair else (_X1, _Y1)
+        flops = lower_flops(step, stateC, stateG, clean_model, netF, batch, key)
+
+        def run_epoch(sC, sG, k, step=step, runner=runner):
+            sC, sG, m = runner(step, sC, sG, clean_model, netF, images, labels, k, BATCH)
+            return (sC, sG), m
+
+        rows.append(timed_row(name, run_epoch, (stateC, stateG), flops, peak))
 
     # victim training step (classifier-only, frozen G)
     G = get_generator(cfg, "unet")
@@ -112,32 +132,15 @@ def main():
     varsG = G.init({"params": jax.random.key(1)}, sample)
     vstep = make_victim_train_step(cfg, C, G)
     poisoned = jnp.asarray((ds.labels == cfg.target_label))
-    flops = None
-    try:
-        x1 = jnp.zeros((BATCH, 32, 32, 3))
-        y1 = jnp.zeros((BATCH,), jnp.int32)
-        p1 = jnp.zeros((BATCH,), bool)
-        compiled = jax.jit(vstep).lower(stateC, varsG["params"], (x1, y1, p1), key).compile()
-        flops = float(compiled.cost_analysis().get("flops", 0.0)) / BATCH
-    except Exception:
-        pass
-    sC, m = train_epoch_classifier(
-        vstep, stateC, varsG["params"], images, labels, poisoned, jax.random.key(10), BATCH, has_poison=True
-    )
-    float(m["loss_ce"])
-    t0 = time.perf_counter()
-    sC, m = train_epoch_classifier(
-        vstep, sC, varsG["params"], images, labels, poisoned, jax.random.key(11), BATCH, has_poison=True
-    )
-    float(m["loss_ce"])
-    dt = time.perf_counter() - t0
-    img_s = BATCH * STEPS / dt
-    row = {"variant": "victim (classifier-only)", "img_s_chip": round(img_s, 1)}
-    if flops:
-        row["gflops_per_img"] = round(flops / 1e9, 2)
-        if peak:
-            row["mfu"] = round(flops * img_s / peak, 3)
-    print(json.dumps(row))
+    flops = lower_flops(vstep, stateC, varsG["params"], (_X1, _Y1, jnp.zeros((BATCH,), bool)), key)
+
+    def run_victim(sC, k):
+        sC, m = train_epoch_classifier(
+            vstep, sC, varsG["params"], images, labels, poisoned, k, BATCH, has_poison=True
+        )
+        return (sC,), m
+
+    rows.append(timed_row("victim (classifier-only)", run_victim, (stateC,), flops, peak))
 
 
 if __name__ == "__main__":

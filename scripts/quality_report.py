@@ -74,17 +74,22 @@ def variant_section(log="./quality_logs/variants/run.log"):
     ]
 
 
+ROUND = os.environ.get("QUALITY_ROUND", "r3")  # suffix of the evidence logs
+
+
 def frequency_section(logdir="./quality_logs"):
-    """Parse the round-3 frequency-detector evidence logs (run_r3_queue.sh)."""
+    """Parse the frequency-detector evidence logs (run_r3_after_outage.sh)."""
     import re
 
     def detector_best(path):
+        # max over per-epoch test accs ("Acc: X - Best: Y" prints BEFORE the
+        # best update, so the last "Best:" is stale by one epoch)
         best = None
         if os.path.exists(path):
             for line in open(path):
-                m = re.search(r"Best: ([\d.]+)", line)
+                m = re.search(r"\| Acc: ([\d.]+) - Best:", line)
                 if m:
-                    best = float(m.group(1))
+                    best = max(best or 0.0, float(m.group(1)))
         return best
 
     def eval_line(path):
@@ -95,9 +100,9 @@ def frequency_section(logdir="./quality_logs"):
                     return float(m.group(1)), float(m.group(2))
         return None
 
-    trained_best = detector_best(f"{logdir}/frequency_train_r3.log")
-    ref = eval_line(f"{logdir}/frequency_eval_refdet_r3.log")
-    fresh = eval_line(f"{logdir}/frequency_eval_trained_r3.log")
+    trained_best = detector_best(f"{logdir}/frequency_train_{ROUND}.log")
+    ref = eval_line(f"{logdir}/frequency_eval_refdet_{ROUND}.log")
+    fresh = eval_line(f"{logdir}/frequency_eval_trained_{ROUND}.log")
     if ref is None and fresh is None:
         return []
     rows = []
@@ -111,7 +116,7 @@ def frequency_section(logdir="./quality_logs"):
         "",
         "`combat_tpu.defenses.frequency_train` + `frequency_eval` against the",
         "r11 generator's trigger (reference `defenses/frequency_based/{train,test}.py`;",
-        "raw logs quality_logs/frequency_*_r3.log).  'Triggered detected' is the",
+        f"raw logs quality_logs/frequency_*_{ROUND}.log).  'Triggered detected' is the",
         "fraction of G-triggered test images the detector flags as poisoned —",
         "low means the low-frequency-constrained trigger evades the detector",
         "(the core COMBAT design claim, reference `README.md:3`).",
@@ -129,9 +134,9 @@ def multires_section(logdir="./quality_logs"):
 
     runs = [
         ("celeba 64px (full 50k/10k synthetic splits, canonical 60+200+100 epochs)",
-         f"{logdir}/quality_celeba_r3.log"),
+         f"{logdir}/quality_celeba_{ROUND}.log"),
         ("imagenet10 224px (4k/800 synthetic splits, 30+60+40 epochs, bs=32)",
-         f"{logdir}/quality_imagenet10_r3.log"),
+         f"{logdir}/quality_imagenet10_{ROUND}.log"),
     ]
     rows = []
     for label, path in runs:
@@ -156,7 +161,7 @@ def multires_section(logdir="./quality_logs"):
         "The same end-to-end pipeline at the reference's other two dataset",
         "geometries (reference `README.md:3` claims CIFAR-10/CelebA/ImageNet-10),",
         "on the synthetic distribution at each geometry (raw logs",
-        "quality_logs/quality_{celeba,imagenet10}_r3.log).",
+        "quality_logs/quality_{celeba,imagenet10}_" + ROUND + ".log).",
         "",
         "| run | clean-model baseline | victim Clean Acc | Bd BA | Bd ASR |",
         "|---|---|---|---|---|",

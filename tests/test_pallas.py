@@ -15,6 +15,10 @@ def _tpu_available() -> bool:
     try:
         return any(d.platform.lower() not in ("cpu", "host") for d in jax.devices())
     except Exception:
+        # accelerator plugin present but unreachable (tunnel outage): a failed
+        # init is cached in-process, so force the CPU platform for the
+        # interpreter fallback to have a working backend at all
+        jax.config.update("jax_platforms", "cpu")
         return False
 
 
