@@ -1,0 +1,52 @@
+"""quality_report.py log parsers: synthetic fixtures for the frequency and
+multi-resolution sections (guards the report against format drift in
+frequency_train/frequency_eval/quality_run prints)."""
+
+import importlib.util
+import os
+import sys
+
+
+def _load(tmp_path, monkeypatch, round_id="rX"):
+    monkeypatch.setenv("QUALITY_ROUND", round_id)
+    spec = importlib.util.spec_from_file_location(
+        "quality_report", os.path.join(os.path.dirname(__file__), "..", "scripts", "quality_report.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_frequency_section_parses_detector_and_evals(tmp_path, monkeypatch):
+    qr = _load(tmp_path, monkeypatch)
+    (tmp_path / "frequency_train_rX.log").write_text(
+        "Epoch 1: CE Loss: 0.5 | Train Acc: 80.0 | Acc: 90.1000 - Best: 0.0000 | 100 img/s\n"
+        " Saving...\n"
+        # last epoch improves: the stale "Best:" print must NOT win
+        "Epoch 2: CE Loss: 0.4 | Train Acc: 85.0 | Acc: 96.1000 - Best: 90.1000 | 100 img/s\n"
+    )
+    (tmp_path / "frequency_eval_refdet_rX.log").write_text(
+        "Clean classified clean: 97.1000 | Triggered detected: 3.2000\n")
+    (tmp_path / "frequency_eval_trained_rX.log").write_text(
+        "Clean classified clean: 95.0000 | Triggered detected: 7.0000\n")
+    lines = qr.frequency_section(logdir=str(tmp_path))
+    text = "\n".join(lines)
+    assert "**3.20**" in text and "**7.00**" in text
+    assert "test acc 96.10" in text  # max per-epoch acc, not the stale Best
+
+
+def test_multires_section_parses_final_lines(tmp_path, monkeypatch):
+    qr = _load(tmp_path, monkeypatch)
+    (tmp_path / "quality_celeba_rX.log").write_text(
+        "clean classifier best acc: 61.20\n"
+        "FINAL: Clean Acc 63.10 | Bd BA 1.20 | Bd ASR 98.70\n")
+    lines = qr.multires_section(logdir=str(tmp_path))
+    text = "\n".join(lines)
+    assert "61.20" in text and "**98.70**" in text
+    assert "imagenet10" not in text.split("|---")[-1]  # absent log -> no row
+
+
+def test_sections_empty_when_logs_absent(tmp_path, monkeypatch):
+    qr = _load(tmp_path, monkeypatch)
+    assert qr.frequency_section(logdir=str(tmp_path)) == []
+    assert qr.multires_section(logdir=str(tmp_path)) == []
