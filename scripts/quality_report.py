@@ -133,9 +133,9 @@ def multires_section(logdir="./quality_logs"):
     import re
 
     runs = [
-        ("celeba 64px (full 50k/10k synthetic splits, canonical 60+200+100 epochs)",
+        ("celeba 64px (synthetic splits; epochs in the log header)",
          f"{logdir}/quality_celeba_{ROUND}.log"),
-        ("imagenet10 224px (4k/800 synthetic splits, 30+60+40 epochs, bs=32)",
+        ("imagenet10 224px (reduced synthetic splits, bs=32; epochs in the log header)",
          f"{logdir}/quality_imagenet10_{ROUND}.log"),
     ]
     rows = []
