@@ -93,12 +93,14 @@ def frequency_section(logdir="./quality_logs"):
         return best
 
     def eval_line(path):
+        # last match wins: evidence logs may hold an earlier appended run
+        out = None
         if os.path.exists(path):
             for line in open(path):
                 m = re.search(r"Clean classified clean: ([\d.]+) \| Triggered detected: ([\d.]+)", line)
                 if m:
-                    return float(m.group(1)), float(m.group(2))
-        return None
+                    out = (float(m.group(1)), float(m.group(2)))
+        return out
 
     trained_best = detector_best(f"{logdir}/frequency_train_{ROUND}.log")
     ref = eval_line(f"{logdir}/frequency_eval_refdet_{ROUND}.log")

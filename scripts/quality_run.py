@@ -11,6 +11,10 @@ convergence evidence available; on a machine with data, drop the
 import os
 import sys
 
+# runnable as `python scripts/quality_run.py` from anywhere (the repo root is
+# NOT on sys.path for direct script invocation — only scripts/ is)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 sys.argv = [sys.argv[0]]
 
 # Full-scale defaults match the reference protocol's 200-epoch stages

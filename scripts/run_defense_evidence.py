@@ -36,11 +36,14 @@ def tee(name, fn, argv):
     path = os.path.join(OUT, name)
     buf = io.StringIO()
     print(f"--- {name}: {argv}")
-    with contextlib.redirect_stdout(buf):
-        fn(argv)
-    text = buf.getvalue()
-    with open(path, "w") as f:
-        f.write(text)
+    try:
+        with contextlib.redirect_stdout(buf):
+            fn(argv)
+    finally:
+        # write even on a mid-run crash so partial progress is diagnosable
+        text = buf.getvalue()
+        with open(path, "w") as f:
+            f.write(text)
     print(text[-1500:])
     return text
 
