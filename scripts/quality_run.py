@@ -24,6 +24,10 @@ EPOCHS_GEN = int(os.environ.get("Q_EPOCHS_GEN", 200))
 EPOCHS_VICTIM = int(os.environ.get("Q_EPOCHS_VICTIM", 100))
 PREFIX = os.environ.get("Q_PREFIX", "q")
 DATASET = os.environ.get("Q_DATASET", "cifar10")
+# Resume support: Q_STAGES="2,3,4" skips stages already completed by a
+# previous (interrupted) queue — stage N still requires stage N-1's
+# checkpoint on disk (container resets wipe checkpoints/, not logs).
+STAGES = {int(s) for s in os.environ.get("Q_STAGES", "1,2,3,4").split(",")}
 
 COMMON = [
     "--dataset", DATASET, "--synthetic_data", "--bs", os.environ.get("Q_BS", "128"),
@@ -36,34 +40,38 @@ def main():
     from combat_tpu.cli import train_clean_classifier, train_generator, train_victim
     from combat_tpu.config import from_args
 
-    print("=== stage 1: clean classifier ===")
-    cfg = from_args(COMMON + ["--n_iters", str(EPOCHS_CLEAN), "--saving_prefix", PREFIX + "_clean_cls"])
-    best_clean = train_clean_classifier.run(cfg)
-    print(f"clean classifier best acc: {best_clean:.2f}")
+    if 1 in STAGES:
+        print("=== stage 1: clean classifier ===")
+        cfg = from_args(COMMON + ["--n_iters", str(EPOCHS_CLEAN), "--saving_prefix", PREFIX + "_clean_cls"])
+        best_clean = train_clean_classifier.run(cfg)
+        print(f"clean classifier best acc: {best_clean:.2f}")
 
-    print("=== stage 2: alternated generator ===")
-    cfg = from_args(COMMON + [
-        "--n_iters", str(EPOCHS_GEN), "--saving_prefix", PREFIX + "_atk",
-        "--load_checkpoint_clean", PREFIX + "_clean_cls", "--pc", "0.5", "--noise_rate", "0.08",
-    ])
-    best = train_generator.run(cfg)
-    print("generator best:", {k: round(v, 2) for k, v in best.items()})
+    if 2 in STAGES:
+        print("=== stage 2: alternated generator ===")
+        cfg = from_args(COMMON + [
+            "--n_iters", str(EPOCHS_GEN), "--saving_prefix", PREFIX + "_atk",
+            "--load_checkpoint_clean", PREFIX + "_clean_cls", "--pc", "0.5", "--noise_rate", "0.08",
+        ])
+        best = train_generator.run(cfg)
+        print("generator best:", {k: round(v, 2) for k, v in best.items()})
 
-    print("=== stage 3: victim ===")
-    cfg = from_args(COMMON + [
-        "--n_iters", str(EPOCHS_VICTIM), "--saving_prefix", PREFIX + "_victim",
-        "--load_checkpoint", PREFIX + "_atk_clean", "--pc", "0.5", "--noise_rate", "0.08",
-    ])
-    vbest = train_victim.run(cfg)
-    print(f"victim best clean {vbest['best_clean_acc']:.2f} / bd {vbest['best_bd_acc']:.2f}")
+    if 3 in STAGES:
+        print("=== stage 3: victim ===")
+        cfg = from_args(COMMON + [
+            "--n_iters", str(EPOCHS_VICTIM), "--saving_prefix", PREFIX + "_victim",
+            "--load_checkpoint", PREFIX + "_atk_clean", "--pc", "0.5", "--noise_rate", "0.08",
+        ])
+        vbest = train_victim.run(cfg)
+        print(f"victim best clean {vbest['best_clean_acc']:.2f} / bd {vbest['best_bd_acc']:.2f}")
 
-    print("=== stage 4: final eval ===")
-    cfg = from_args(COMMON + [
-        "--saving_prefix", PREFIX + "_eval", "--load_checkpoint", PREFIX + "_atk_clean",
-        "--load_checkpoint_clean", PREFIX + "_victim_clean", "--noise_rate", "0.08",
-    ])
-    acc, ba, asr = eval_cli.run(cfg)
-    print(f"FINAL: Clean Acc {acc:.2f} | Bd BA {ba:.2f} | Bd ASR {asr:.2f}")
+    if 4 in STAGES:
+        print("=== stage 4: final eval ===")
+        cfg = from_args(COMMON + [
+            "--saving_prefix", PREFIX + "_eval", "--load_checkpoint", PREFIX + "_atk_clean",
+            "--load_checkpoint_clean", PREFIX + "_victim_clean", "--noise_rate", "0.08",
+        ])
+        acc, ba, asr = eval_cli.run(cfg)
+        print(f"FINAL: Clean Acc {acc:.2f} | Bd BA {ba:.2f} | Bd ASR {asr:.2f}")
 
 
 if __name__ == "__main__":
