@@ -22,9 +22,49 @@ def test_records(recs):
 
 
 def stage_log(prefix, stage, dataset="cifar10", name="train"):
+    # Committed evidence first (quality_logs/ is in git; checkpoints/ is
+    # transient and may hold a DIFFERENT, newer run under the same prefix —
+    # e.g. the r11 rebuild that regenerated the eval checkpoints).
     suffix = "" if stage == "clean_cls" else "_clean"
-    recs = read_jsonl(f"./checkpoints/{prefix}_{stage}{suffix}/{dataset}/log_dir/{name}.jsonl")
-    return recs or read_jsonl(f"./quality_logs/{prefix}/{stage}/{name}.jsonl")
+    recs = read_jsonl(f"./quality_logs/{prefix}/{stage}/{name}.jsonl")
+    recs = recs or runlog_stage(prefix, stage)
+    return recs or read_jsonl(f"./checkpoints/{prefix}_{stage}{suffix}/{dataset}/log_dir/{name}.jsonl")
+
+
+def runlog_stage(prefix, stage, logdir="./quality_logs"):
+    """Reconstruct test-group trajectory records from the committed raw
+    stdout (``<prefix>/run.log``) when a stage's jsonl did not survive a
+    container reset — checkpoints/ is not in git, so the raw log is the
+    durable source; this keeps the report reproducible from git alone."""
+    import re
+
+    path = f"{logdir}/{prefix}/run.log"
+    if not os.path.exists(path):
+        return []
+    want = {"atk": "stage 2", "victim": "stage 3"}.get(stage)
+    recs, cur, epoch = [], None, 0
+    for line in open(path):
+        m = re.search(r"=== (stage \d)", line)
+        if m:
+            cur, epoch = m.group(1), 0
+            continue
+        if stage == "eval":
+            m = re.search(r"FINAL: Clean Acc ([\d.]+) \| Bd BA ([\d.]+) \| Bd ASR ([\d.]+)", line)
+            if m:
+                recs.append({"epoch": 0, "group": "test", "Clean": float(m.group(1)),
+                             "Bd BA": float(m.group(2)), "Bd ASR": float(m.group(3))})
+        elif cur == want and stage == "atk":
+            m = re.search(r"Eval: Clean Acc: ([\d.]+).*\| Bd Acc: ([\d.]+).*\| F Acc: ([\d.]+)", line)
+            if m:
+                recs.append({"epoch": epoch, "group": "test", "Clean": float(m.group(1)),
+                             "Bd": float(m.group(2)), "F": float(m.group(3))})
+                epoch += 1
+        elif cur == want and stage == "victim":
+            m = re.search(r"Epoch (\d+):.*Clean Acc: ([\d.]+) - Best.*\| Bd Acc: ([\d.]+)", line)
+            if m:
+                recs.append({"epoch": int(m.group(1)) - 1, "group": "test",
+                             "Clean": float(m.group(2)), "Bd": float(m.group(3))})
+    return recs
 
 
 def fmt_traj(recs, keys, every):
@@ -117,7 +157,7 @@ def frequency_section(logdir="./quality_logs"):
         "## Frequency-based defense (DCT detector) — end-to-end",
         "",
         "`combat_tpu.defenses.frequency_train` + `frequency_eval` against the",
-        "r11 generator's trigger (reference `defenses/frequency_based/{train,test}.py`;",
+        "`r11rebuild` generator's trigger (reference `defenses/frequency_based/{train,test}.py`;",
         f"raw logs quality_logs/frequency_*_{ROUND}.log).  'Triggered detected' is the",
         "fraction of G-triggered test images the detector flags as poisoned —",
         "low means the low-frequency-constrained trigger evades the detector",
@@ -126,6 +166,15 @@ def frequency_section(logdir="./quality_logs"):
         "| detector | clean images classified clean (%) | triggered images detected (%) |",
         "|---|---|---|",
         *rows,
+        "",
+        "The shipped CIFAR-trained detector is out-of-distribution on the",
+        "synthetic data — it flags essentially every image, clean ones",
+        "included (0% clean pass rate), so its detection number carries no",
+        "signal here.  The calibrated comparison is the freshly trained row:",
+        "a detector that is accurate on its own corruption distribution and",
+        "passes 99.98% of clean images still flags almost none of the",
+        "G-triggered images — the DCT-low-pass trigger constraint evades the",
+        "frequency defense end-to-end.",
         "",
     ]
 
@@ -170,6 +219,27 @@ def multires_section(logdir="./quality_logs"):
         *rows,
         "",
     ]
+
+
+# Per-run provenance notes rendered under the section header.
+RUN_NOTES = {
+    "r10": (
+        "Victim/eval raw logs for this run were lost to a container reset "
+        "before they were committed; the surviving generator-stage log is "
+        "rendered below and the final eval (Clean Acc 74.16 | Bd BA 2.29 | "
+        "Bd ASR 96.84) is recorded in the iteration table above."
+    ),
+    "r11rebuild": (
+        "Independent rerun of the exact `r11` recipe, executed solely to "
+        "regenerate the `r11_atk_clean` checkpoint for the "
+        "frequency-detector evals after a container reset wiped "
+        "`checkpoints/` (the original `r11` full log is committed at "
+        "`quality_logs/r11/run.log`).  Alternated-GAN convergence has "
+        "run-to-run variance on this distribution; this rerun landed at "
+        "ASR 96.13 vs the original 99.20.  The frequency-defense rows "
+        "above target THIS generator."
+    ),
+}
 
 
 def main():
@@ -259,6 +329,9 @@ def main():
         # the same eval from the saved best checkpoints.
         ev = stage_log("r10fix" if p == "r10" else p, "eval", name="eval")
         out += [f"## Run `{p}`", ""]
+        note = RUN_NOTES.get(p)
+        if note:
+            out += [note, ""]
         if gen:
             out += [
                 "### Stage 2 — alternated generator (surrogate eval metrics)",

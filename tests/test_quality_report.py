@@ -50,3 +50,29 @@ def test_sections_empty_when_logs_absent(tmp_path, monkeypatch):
     qr = _load(tmp_path, monkeypatch)
     assert qr.frequency_section(logdir=str(tmp_path)) == []
     assert qr.multires_section(logdir=str(tmp_path)) == []
+
+
+def test_runlog_stage_reconstructs_trajectories(tmp_path, monkeypatch):
+    """Raw run.log fallback: when a prefix's jsonl died with a container
+    reset, the committed stdout must reconstruct stage trajectories."""
+    qr = _load(tmp_path, monkeypatch)
+    d = tmp_path / "rY"
+    d.mkdir()
+    (d / "run.log").write_text(
+        "=== stage 2: alternated generator ===\n"
+        "Epoch 1: Clean Acc: 19.9 | Bd Acc: 93.6 | F Acc: 74.3 | 706 img/s\n"
+        "  Eval: Clean Acc: 25.4000 - Best: 0.0000 | Bd Acc: 99.3352 - Best: 0.0000 | F Acc: 65.7839\n"
+        "  Eval: Clean Acc: 28.5800 - Best: 25.4000 | Bd Acc: 86.9917 - Best: 99.3352 | F Acc: 75.9889\n"
+        "=== stage 3: victim ===\n"
+        "Epoch 1: CE Loss: 0.0163 | Train Acc: 24.7 | Clean Acc: 23.6800 - Best: 0.0000 | Bd Acc: 99.6676 - Best: 0.0000 | 1203 img/s\n"
+        "=== stage 4: final eval ===\n"
+        "FINAL: Clean Acc 68.89 | Bd BA 0.72 | Bd ASR 99.20\n"
+    )
+    atk = qr.runlog_stage("rY", "atk", logdir=str(tmp_path))
+    assert [r["Clean"] for r in atk] == [25.4, 28.58] and atk[1]["epoch"] == 1
+    vic = qr.runlog_stage("rY", "victim", logdir=str(tmp_path))
+    assert vic == [{"epoch": 0, "group": "test", "Clean": 23.68, "Bd": 99.6676}]
+    ev = qr.runlog_stage("rY", "eval", logdir=str(tmp_path))
+    assert ev[-1]["Bd ASR"] == 99.20
+    # stage-2 "Epoch:" lines must not leak into the victim trajectory
+    assert all(r["Clean"] != 19.9 for r in vic)
