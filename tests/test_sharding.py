@@ -37,3 +37,8 @@ def test_dryrun_multichip_8cpu():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip OK" in out.stdout, out.stdout
+    # phase 2: the same full alternated step under a 2-D (data, model) mesh
+    # with Megatron-style channel-sharded params (train/mesh.py
+    # channel_sharding) — TP is out of scope for these CNN-scale models
+    # (SURVEY §2.4) but the mesh abstraction must support the axis.
+    assert "dryrun_multichip TP OK" in out.stdout, out.stdout
