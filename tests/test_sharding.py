@@ -42,3 +42,9 @@ def test_dryrun_multichip_8cpu():
     # channel_sharding) — TP is out of scope for these CNN-scale models
     # (SURVEY §2.4) but the mesh abstraction must support the axis.
     assert "dryrun_multichip TP OK" in out.stdout, out.stdout
+    # layout independence: same seed, same batch => the TP step must
+    # reproduce the DP step's loss (CPU f32 is deterministic here)
+    import re
+
+    losses = re.findall(r"loss_ce=([\d.]+)", out.stdout)
+    assert len(losses) == 2 and losses[0] == losses[1], out.stdout
