@@ -99,15 +99,33 @@ def _load_npz(root: str, name: str, train: bool) -> Optional[ArrayDataset]:
 
 
 def _smooth(fields: np.ndarray, passes: int = 2) -> np.ndarray:
-    """Box-filter each (.., H, W, C) field ``passes`` times (image-like)."""
-    for _ in range(passes):
-        fields = (
-            fields
-            + np.roll(fields, 1, axis=-3)
-            + np.roll(fields, -1, axis=-3)
-            + np.roll(fields, 1, axis=-2)
-            + np.roll(fields, -1, axis=-2)
-        ) / 5.0
+    """5-point diffusion over each (.., H, W, C) field, ``passes`` times.
+
+    passes <= 8 runs the literal roll-based loop — bit-for-bit identical to
+    the committed 32px evidence runs (r5-r11).  Larger counts (the
+    resolution-scaled 64/224px datasets) apply the SAME operator in Fourier
+    space: ``np.roll``'s circular boundary makes the diffusion kernel
+    diagonal in the FFT basis with multiplier
+    ``((1 + 2cos wy + 2cos wx)/5)^passes``, exact up to float rounding, in
+    O(HW log HW) instead of O(passes * HW)."""
+    if passes <= 8:
+        for _ in range(passes):
+            fields = (
+                fields
+                + np.roll(fields, 1, axis=-3)
+                + np.roll(fields, -1, axis=-3)
+                + np.roll(fields, 1, axis=-2)
+                + np.roll(fields, -1, axis=-2)
+            ) / 5.0
+    else:
+        h, w = fields.shape[-3], fields.shape[-2]
+        wy = 2.0 * np.pi * np.fft.fftfreq(h)[:, None]
+        wx = 2.0 * np.pi * np.fft.rfftfreq(w)[None, :]
+        hat = ((1.0 + 2.0 * np.cos(wy) + 2.0 * np.cos(wx)) / 5.0) ** passes
+        spec = np.fft.rfft2(fields, axes=(-3, -2))
+        fields = np.fft.irfft2(spec * hat[..., None], s=(h, w), axes=(-3, -2)).astype(
+            fields.dtype
+        )
     return fields / (np.abs(fields).max(axis=(-3, -2, -1), keepdims=True) + 1e-8)
 
 
@@ -145,10 +163,20 @@ def synthetic_dataset(
     # high-frequency variant was tried and rejected: the reference's
     # crop/rotation augmentations decorrelate pure high-freq textures and
     # clean accuracy collapses.)
+    # Feature scale must be a constant FRACTION of the image, as in natural
+    # images (a CIFAR object spans about half the frame at 32px and an
+    # ImageNet object still does at 224px).  Box-diffusion correlation
+    # length grows like sqrt(passes), so passes scale with pixel AREA; at
+    # 32px scale == 1 and this is exactly the committed r5-r11
+    # distribution.  Unscaled, 224px templates are 1-2 px texture that an
+    # imagenet-style stride-4 ResNet stem low-passes away — observed as
+    # chance-level clean accuracy (quality_logs/quality_imagenet10_r3.log,
+    # pre-fix run: test acc 10.75% after 30 epochs).
+    scale = max(1, round((h * w) / (32 * 32)))
     raw = np.random.RandomState(999).randn(k, modes, h, w, c).astype(np.float32)
-    templates = _smooth(raw, passes=1) - _smooth(raw, passes=4)
+    templates = _smooth(raw, passes=1 * scale) - _smooth(raw, passes=4 * scale)
     templates /= np.abs(templates).max(axis=(-3, -2, -1), keepdims=True) + 1e-8
-    backgrounds = _smooth(np.random.RandomState(777).randn(64, h, w, c).astype(np.float32), passes=3)
+    backgrounds = _smooth(np.random.RandomState(777).randn(64, h, w, c).astype(np.float32), passes=3 * scale)
 
     labels = rng.randint(0, k, size=(n,)).astype(np.int32)
     mode = rng.randint(0, modes, size=n)

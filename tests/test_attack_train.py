@@ -194,3 +194,48 @@ def test_synthetic_size_override():
     # explicit n still wins; 0 keeps the CIFAR-scale default
     assert len(synthetic_dataset(cfg, True, n=16)) == 16
     assert len(synthetic_dataset(cfg.replace(synthetic_size=0), False)) == 10000
+
+
+def test_smooth_fft_path_matches_loop():
+    """The Fourier fast path for large pass counts (resolution-scaled 64/224px
+    synthetic datasets) must reproduce the literal 5-point diffusion loop."""
+    import numpy as np
+
+    from combat_tpu.data.datasets import _smooth
+
+    x = np.random.RandomState(0).randn(2, 24, 20, 3).astype(np.float32)
+    loop = x.copy()
+    for _ in range(9):
+        loop = (
+            loop
+            + np.roll(loop, 1, -3) + np.roll(loop, -1, -3)
+            + np.roll(loop, 1, -2) + np.roll(loop, -1, -2)
+        ) / 5.0
+    loop = loop / (np.abs(loop).max(axis=(-3, -2, -1), keepdims=True) + 1e-8)
+    fft = _smooth(x, passes=9)  # > 8 routes through the FFT branch
+    np.testing.assert_allclose(fft, loop, atol=1e-5)
+
+
+def test_synthetic_class_signal_survives_resolution_scaling():
+    """At 64px the templates' diffusion passes scale with pixel area; a
+    shift-invariant spectral template matcher must stay well above chance
+    (the 224px pre-fix failure mode was chance-level learnability —
+    quality_logs/quality_imagenet10_r3.log)."""
+    import numpy as np
+
+    from combat_tpu.config import Config, apply_dataset_preset
+    from combat_tpu.data.datasets import _smooth, synthetic_dataset
+
+    cfg = apply_dataset_preset(Config(dataset="celeba", synthetic_size=600))
+    ds = synthetic_dataset(cfg, train=False)
+    h, w, k, modes = cfg.input_height, cfg.input_width, cfg.num_classes, 4
+    scale = max(1, round((h * w) / (32 * 32)))
+    raw = np.random.RandomState(999).randn(k, modes, h, w, 3).astype(np.float32)
+    t = _smooth(raw, passes=1 * scale) - _smooth(raw, passes=4 * scale)
+    n = 120
+    xs = np.abs(np.fft.rfft2(ds.images[:n], axes=(1, 2))).reshape(n, -1)
+    ts = np.abs(np.fft.rfft2(t, axes=(2, 3))).reshape(k * modes, -1)
+    xs /= np.linalg.norm(xs, axis=1, keepdims=True)
+    ts /= np.linalg.norm(ts, axis=1, keepdims=True)
+    acc = ((xs @ ts.T).argmax(1) // modes == ds.labels[:n]).mean()
+    assert acc > 2.0 / k, acc  # measured ~0.35 vs chance 0.125
