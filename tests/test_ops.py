@@ -223,3 +223,16 @@ def test_blur_matrix_matches_separable_conv():
     B = _blur_matrix(gaussian_kernel_1d(3, sigma), 16)
     got = jnp.einsum("ij,njwc,wk->nikc", B, x, B.T)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_post_tensor_transform_chunked_matches_single_shot(monkeypatch):
+    """Row-chunked fused resample (large-resolution HBM guard) is bitwise
+    identical to the single-shot contraction — same einsums, same order,
+    just a bounded rank-5 intermediate (224px stage-1 OOM regression)."""
+    from combat_tpu.ops import augment as A
+
+    x = jax.random.uniform(jax.random.key(1), (4, 64, 64, 3), minval=-1.0, maxval=1.0)
+    single = post_tensor_transform(jax.random.key(3), x)
+    monkeypatch.setattr(A, "_CHUNK_BYTES", 1)  # force maximal chunking
+    chunked = post_tensor_transform(jax.random.key(3), x)
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(chunked))
