@@ -28,7 +28,7 @@ from ..train import (
     sgd_torch,
     train_epoch_alternated,
 )
-from ..train.loop import train_epoch_alternated_pair
+from ..train.loop import dequantize, train_epoch_alternated_pair
 from ..attack.triggers import additive_trigger
 from ..utils import MetricsLogger, Timer, profile_epoch
 from ..train.mesh import replicate
@@ -262,7 +262,7 @@ def run_alternated(cfg: Config, spec: AlternatedSpec):
             if cfg.image_every and epoch % cfg.image_every == 0:
                 # clean-vs-triggered grid, stacked along H like the reference's
                 # ``cat([inputs, inputs_bd], dim=2)`` (train_generator.py:310-315)
-                xb = timgs[:16]
+                xb = dequantize(timgs[:16])
                 kimg = jax.random.fold_in(k_run, 20_000_000 + epoch)
                 if spec.generator_kind == "grid":
                     from ..attack.triggers import warp_trigger

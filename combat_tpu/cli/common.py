@@ -29,10 +29,28 @@ def setup_run_dirs(cfg: Config, ckpt_folder: str, log_subdir: str = "log_dir", f
     return log_dir
 
 
+# Above this size a split rides to (and lives on) the chip as uint8 —
+# real image corpora are uint8 on disk anyway (the reference's tensors come
+# from uint8 PIL frames, utils/dataloader.py ToTensor), and u8 residency
+# quarters both HBM footprint and upload time (this container's device
+# tunnel moves ~8-10 MB/s: a 13k-image 224px float32 split is an ~18-minute
+# device_put and OOMs training).  CIFAR-scale splits (614 MB) stay float32,
+# keeping the committed 32px evidence bit-identical.
+_U8_RESIDENCY_BYTES = 1 << 30
+
+
 def device_dataset(cfg: Config, mesh, train: bool) -> Tuple[jnp.ndarray, jnp.ndarray, ArrayDataset]:
-    """Load a split and replicate it into HBM on every mesh device."""
+    """Load a split and replicate it into HBM on every mesh device.
+
+    Splits larger than ``_U8_RESIDENCY_BYTES`` are stored quantized
+    (uint8); the epoch runners dequantize per batch
+    (train/loop.py ``gather_batch``), which XLA fuses into the step."""
     ds = get_dataset(cfg, train)
-    images = replicate(mesh, jnp.asarray(ds.images, dtype=jnp.float32))
+    if ds.images.nbytes > _U8_RESIDENCY_BYTES:
+        u8 = np.clip(np.round((ds.images.astype(np.float32) + 1.0) * 127.5), 0, 255)
+        images = replicate(mesh, jnp.asarray(u8.astype(np.uint8)))
+    else:
+        images = replicate(mesh, jnp.asarray(ds.images, dtype=jnp.float32))
     labels = replicate(mesh, jnp.asarray(ds.labels, dtype=jnp.int32))
     return images, labels, ds
 

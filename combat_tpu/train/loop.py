@@ -27,6 +27,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def dequantize(x: jnp.ndarray) -> jnp.ndarray:
+    """Map a uint8-resident split back to the [-1, 1] float range.
+
+    Large splits live in HBM as uint8 (cli/common.py ``device_dataset``):
+    4x smaller residency/upload, and ``u8/127.5 - 1`` is exactly the
+    reference's ToTensor+Normalize(±0.5) of a uint8 frame
+    (``utils/dataloader.py:24-42``).  Float splits pass through untouched.
+    """
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 127.5 - 1.0
+    return x
+
+
+def gather_batch(images: jnp.ndarray, idx) -> jnp.ndarray:
+    """Batch gather from the device-resident split; XLA fuses the dequant
+    into the consuming step."""
+    return dequantize(images[idx])
+
+
 def epoch_permutation(key: jax.Array, n: int, bs: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(full_batches, tail): a (n//bs, bs) index matrix plus the ragged
     remainder (static length n % bs, possibly 0)."""
@@ -62,7 +81,7 @@ def train_epoch_alternated(
     def body(carry, idx):
         stateC, stateG = carry
         sub = jax.random.fold_in(kstep, stateC.step)
-        batch = (images[idx], labels[idx])
+        batch = (gather_batch(images, idx), labels[idx])
         stateC, stateG, m = step_fn(stateC, stateG, clean_model, netF, batch, sub)
         return (stateC, stateG), m
 
@@ -70,7 +89,7 @@ def train_epoch_alternated(
     metrics = jax.tree.map(lambda a: a.sum(0), ms)
     if tail.shape[0]:
         sub = jax.random.fold_in(kstep, stateC.step)
-        stateC, stateG, mt = step_fn(stateC, stateG, clean_model, netF, (images[tail], labels[tail]), sub)
+        stateC, stateG, mt = step_fn(stateC, stateG, clean_model, netF, (gather_batch(images, tail), labels[tail]), sub)
         metrics = jax.tree.map(jnp.add, metrics, mt)
     return stateC, stateG, metrics
 
@@ -98,7 +117,7 @@ def train_epoch_alternated_pair(
         stateC, stateG = carry
         idx, idx2 = idx_pair
         sub = jax.random.fold_in(kstep, stateC.step)
-        batch = (images[idx], labels[idx], images[idx2])
+        batch = (gather_batch(images, idx), labels[idx], gather_batch(images, idx2))
         stateC, stateG, m = step_fn(stateC, stateG, clean_model, netF, batch, sub)
         return (stateC, stateG), m
 
@@ -107,7 +126,7 @@ def train_epoch_alternated_pair(
     if tail.shape[0]:
         sub = jax.random.fold_in(kstep, stateC.step)
         stateC, stateG, mt = step_fn(
-            stateC, stateG, clean_model, netF, (images[tail], labels[tail], images[tail2]), sub
+            stateC, stateG, clean_model, netF, (gather_batch(images, tail), labels[tail], gather_batch(images, tail2)), sub
         )
         metrics = jax.tree.map(jnp.add, metrics, mt)
     return stateC, stateG, metrics
@@ -133,8 +152,8 @@ def train_epoch_classifier(
     def one(stateC, idx):
         sub = jax.random.fold_in(kstep, stateC.step)
         if has_poison:
-            return step_fn(stateC, paramsG, (images[idx], labels[idx], poisoned[idx]), sub)
-        return step_fn(stateC, (images[idx], labels[idx]), sub)
+            return step_fn(stateC, paramsG, (gather_batch(images, idx), labels[idx], poisoned[idx]), sub)
+        return step_fn(stateC, (gather_batch(images, idx), labels[idx]), sub)
 
     stateC, ms = jax.lax.scan(one, stateC, perm)
     metrics = jax.tree.map(lambda a: a.sum(0), ms)
@@ -168,9 +187,9 @@ def eval_epoch(
         ix, vd = pair
         if with_pair:
             ix2 = pair_perm[ix % images.shape[0]]
-            batch = (images[ix], labels[ix], images[ix2], vd)
+            batch = (gather_batch(images, ix), labels[ix], gather_batch(images, ix2), vd)
         else:
-            batch = (images[ix], labels[ix], vd)
+            batch = (gather_batch(images, ix), labels[ix], vd)
         if with_key:
             m = step_fn(*step_args, batch, jax.random.fold_in(key, i))
         else:

@@ -239,3 +239,41 @@ def test_synthetic_class_signal_survives_resolution_scaling():
     ts /= np.linalg.norm(ts, axis=1, keepdims=True)
     acc = ((xs @ ts.T).argmax(1) // modes == ds.labels[:n]).mean()
     assert acc > 2.0 / k, acc  # measured ~0.35 vs chance 0.125
+
+
+def test_uint8_residency_matches_float32_run():
+    """u8-resident splits (cli/common.device_dataset for >1GB datasets) must
+    train identically to an f32 split holding the same dequantized values."""
+    import jax
+    import jax.numpy as jnp
+
+    from combat_tpu.models import get_classifier
+    from combat_tpu.train import (
+        dequantize,
+        gather_batch,
+        init_train_state,
+        multistep_lr,
+        sgd_torch,
+        train_epoch_classifier,
+    )
+    from combat_tpu.train.steps import make_clean_train_step
+
+    cfg = make_cfg(bs=8)
+    u8 = jax.random.randint(jax.random.key(0), (24, 32, 32, 3), 0, 256, dtype=jnp.uint8)
+    f32 = dequantize(u8)
+    assert float(jnp.abs(gather_batch(u8, jnp.arange(4)) - f32[:4]).max()) == 0.0
+    labels = jax.random.randint(jax.random.key(1), (24,), 0, cfg.num_classes)
+
+    C = get_classifier(cfg)
+    tx = sgd_torch(multistep_lr(cfg.lr_C, cfg.schedulerC_milestones, cfg.schedulerC_lambda, 3))
+    step = make_clean_train_step(cfg, C)
+    outs = []
+    for images in (u8, f32):
+        state = init_train_state(C, jax.random.key(2), f32[:1], tx)
+        state, m = train_epoch_classifier(step, state, None, images, labels, None, jax.random.key(3), 8)
+        outs.append((m, state.params))
+    # inputs are bit-equal (asserted above); the in-graph uint8->f32 convert
+    # shifts XLA fusion boundaries, so accumulations reassociate ~1e-5
+    assert jnp.allclose(outs[0][0]["loss_ce"], outs[1][0]["loss_ce"], rtol=1e-4)
+    diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), outs[0][1], outs[1][1])
+    assert max(jax.tree.leaves(diffs)) < 1e-3
