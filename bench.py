@@ -23,7 +23,10 @@ Context published alongside it:
     and identical math land it in the same few-img/s band as torch (both
     FLOP-bound on one core), evidencing like-for-like work;
   * ``vs_est_gpu_range`` — first-principles bracket of the reference loop
-    on a datacenter GPU, from the measured FLOPs/img over peak×utilization.
+    on a datacenter GPU, from the reference loop's FLOPs/img over
+    peak×utilization (the reference runs the generator forward twice per
+    batch; our step shares one forward via ``jax.vjp``, so the bracket is
+    costed at ours + one extra G forward).
     Utilization for small-batch 32px torch conv training is measured in
     public practice at ~3-8% on A100-class parts (CIFAR ResNet18 loops run
     ~2.5-4.5k img/s ≈ 4-7.5 TFLOP/s vs a 156 TFLOP/s TF32 peak), and this
@@ -131,10 +134,21 @@ def main() -> None:
     # FLOPs of one fused step from the compiled executable's cost model
     x1 = jnp.zeros((BATCH, 32, 32, 3))
     y1 = jnp.zeros((BATCH,), jnp.int32)
-    flops_per_img = None
+    flops_per_img = ref_flops_per_img = None
     try:
         compiled = jax.jit(step).lower(stateC, stateG, clean_model, netF, (x1, y1), key).compile()
         flops_per_img = float(compiled.cost_analysis().get("flops", 0.0)) / BATCH
+        # The reference's loop runs the generator forward TWICE per batch
+        # (C-step + inside the G-loss, train_generator.py:186,223); our step
+        # shares one forward via jax.vjp (train/steps.py).  The GPU-estimate
+        # bracket models the REFERENCE loop, so cost it with its own FLOPs:
+        # ours + one extra G forward.
+        g_fwd = (
+            jax.jit(lambda p, xx: G.apply({"params": p}, xx))
+            .lower(stateG.params, x1)
+            .compile()
+        )
+        ref_flops_per_img = flops_per_img + float(g_fwd.cost_analysis().get("flops", 0.0)) / BATCH
     except Exception:
         pass  # cost model not available on every backend; fields stay null
 
@@ -182,10 +196,19 @@ def main() -> None:
         if peak:
             out["mfu"] = round(flops_per_img * img_s_chip / peak, 3)
             out["peak_ref"] = f"{device_kind} bf16 {peak / 1e12:.0f} TFLOP/s"
+        ref_fpi = ref_flops_per_img or flops_per_img
         out["vs_est_gpu_range"] = [
-            round(img_s_chip / (GPU_EST_HI_FLOPS / flops_per_img), 2),
-            round(img_s_chip / (GPU_EST_LO_FLOPS / flops_per_img), 2),
+            round(img_s_chip / (GPU_EST_HI_FLOPS / ref_fpi), 2),
+            round(img_s_chip / (GPU_EST_LO_FLOPS / ref_fpi), 2),
         ]
+        out["ref_loop_flops_per_img"] = round(ref_fpi / 1e9, 2)
+        if measured and "anomaly_mode_slowdown" in measured:
+            # further conservatism context: the bracket's GPU estimate is for
+            # an idealized reference loop WITHOUT the set_detect_anomaly(True)
+            # overhead the as-shipped reference always pays (measured same-
+            # host factor below; the factor is larger on fast hardware where
+            # per-op host work is a bigger fraction of step time)
+            out["ref_anomaly_mode_slowdown_measured_cpu"] = measured["anomaly_mode_slowdown"]
     print(json.dumps(out))
 
 

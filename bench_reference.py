@@ -349,8 +349,30 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     img_s = BATCH * TIMED / dt
+
+    # The as-shipped reference enables autograd anomaly detection
+    # unconditionally at the top of EVERY train() (train_generator.py:145,
+    # train_victim.py:94, ... — all 10 train scripts).  Measure that mode
+    # too: the factor between the two is overhead the reference pays on any
+    # hardware, and the bench.py GPU bracket is computed WITHOUT it
+    # (i.e. generously, for an idealized no-anomaly reference loop).
+    torch.autograd.set_detect_anomaly(True)
+    try:
+        t0 = time.perf_counter()
+        run_loop(TIMED, netC, netG, netF, clean_model, optC, optG)
+        img_s_anomaly = BATCH * TIMED / (time.perf_counter() - t0)
+    finally:
+        torch.autograd.set_detect_anomaly(False)
+
     result = {
         "img_s": round(img_s, 2),
+        "img_s_anomaly_mode": round(img_s_anomaly, 2),
+        "anomaly_mode_slowdown": round(img_s / img_s_anomaly, 3),
+        "anomaly_note": (
+            "the reference calls torch.autograd.set_detect_anomaly(True) in every "
+            "train() (train_generator.py:145); img_s (and the bench.py GPU bracket) "
+            "generously EXCLUDE that always-on overhead"
+        ),
         "device": "cpu",
         "threads": torch.get_num_threads(),
         "cores": len(os.sched_getaffinity(0)),

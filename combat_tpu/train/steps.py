@@ -105,8 +105,19 @@ def make_alternated_train_step(cfg: Config, C, G):
         bd_targets = create_targets_bd(y, cfg.attack_mode, cfg.target_label, cfg.num_classes)
         k = jax.random.split(key, 10)
 
+        # The reference runs the SAME generator forward twice per batch —
+        # once for the C-step poison batch (train_generator.py:186) and once
+        # inside the G-step loss (:223) — because torch's autograd tape ties
+        # gradients to a fresh forward.  With an explicit ``jax.vjp`` the
+        # single forward serves both: its primal feeds the C-step (a
+        # constant there — loss_C differentiates w.r.t. C only) and its
+        # pullback turns dL/d(noise) into dL/d(paramsG), saving one full
+        # UNet forward per step (~10% of step FLOPs) with bit-identical
+        # semantics (G is updated only after both uses, so both see the
+        # same params; the trigger PRNG draws are unchanged).
+        noise, g_vjp = jax.vjp(lambda p: G.apply({"params": p}, x), stateG.params)
+
         # ---- C-step (netG eval/frozen, netC train) ----
-        noise = G.apply({"params": jax.lax.stop_gradient(stateG.params)}, x)
         x_bd_c = trig(k[0], x, noise)
         is_target = y == bd_targets
         poison = is_target & jax.random.bernoulli(k[1], cfg.pc, y.shape)
@@ -129,9 +140,10 @@ def make_alternated_train_step(cfg: Config, C, G):
         # ---- G-step (netC eval with just-updated stats, netG train) ----
         varsC = {"params": stateC.params, "batch_stats": stateC.batch_stats}
 
-        def loss_G(paramsG):
-            noise = G.apply({"params": paramsG}, x)
-            x_bd = trig(k[4], x, noise)
+        def loss_G(nz):
+            # loss as a function of the generator OUTPUT; pulled back
+            # through g_vjp below (reference loss: train_generator.py:253)
+            x_bd = trig(k[4], x, nz)
             pred_bd = C.apply(varsC, aug(k[5], x_bd), train=False)
             l_ce = cross_entropy(pred_bd, bd_targets)
             l_l2 = jnp.mean((x_bd - x) ** 2)
@@ -140,7 +152,8 @@ def make_alternated_train_step(cfg: Config, C, G):
             total = l_ce + cfg.L2_weight * l_l2 + cfg.clean_model_weight * l_cm
             return total, (x_bd, pred_bd, cm_bd, l_ce, l_l2, l_cm)
 
-        (_, auxG), gradsG = jax.value_and_grad(loss_G, has_aux=True)(stateG.params)
+        (_, auxG), grad_noise = jax.value_and_grad(loss_G, has_aux=True)(noise)
+        (gradsG,) = g_vjp(grad_noise)
         stateG = stateG.apply_gradients(gradsG)
         x_bd, pred_bd, cm_bd, l_ce, l_l2, l_cm = auxG
 

@@ -82,8 +82,11 @@ def make_wanet_train_step(cfg: Config, C, G):
         bd_targets = create_targets_bd(y, cfg.attack_mode, cfg.target_label, cfg.num_classes)
         k = jax.random.split(key, 8)
 
+        # One G forward serves both the C-step (constant there) and the
+        # G-step pullback — see the vjp note in steps.py.
+        flow, g_vjp = jax.vjp(lambda p: G.apply({"params": p}, x), stateG.params)
+
         # C-step
-        flow = G.apply({"params": jax.lax.stop_gradient(stateG.params)}, x)
         x_bd_c, _ = wanet_apply(x, flow, cfg.grid_rescale)
         poison = (y == bd_targets) & jax.random.bernoulli(k[0], cfg.pc, y.shape)
         x_mix = aug(k[1], jnp.where(poison[:, None, None, None], x_bd_c, x))
@@ -100,9 +103,8 @@ def make_wanet_train_step(cfg: Config, C, G):
         clean_preds = _apply_eval(clean_model.apply_fn, clean_model.variables, aug(k[2], x))
         varsC = {"params": stateC.params, "batch_stats": stateC.batch_stats}
 
-        def loss_G(paramsG):
-            flow = G.apply({"params": paramsG}, x)
-            x_bd, flow_up = wanet_apply(x, flow, cfg.grid_rescale)
+        def loss_G(fl):
+            x_bd, flow_up = wanet_apply(x, fl, cfg.grid_rescale)
             pred_bd = C.apply(varsC, aug(k[3], x_bd), train=False)
             l_ce = cross_entropy(pred_bd, bd_targets)
             l_l2 = jnp.mean(flow_up**2)  # MSE(noise_grid, 0) — wanet:212
@@ -111,7 +113,8 @@ def make_wanet_train_step(cfg: Config, C, G):
             total = l_ce + cfg.L2_weight * l_l2 + cfg.clean_model_weight * l_cm
             return total, (x_bd, flow_up, pred_bd, cm_bd, l_ce, l_l2, l_cm)
 
-        (_, auxG), gradsG = jax.value_and_grad(loss_G, has_aux=True)(stateG.params)
+        (_, auxG), grad_flow = jax.value_and_grad(loss_G, has_aux=True)(flow)
+        (gradsG,) = g_vjp(grad_flow)
         stateG = stateG.apply_gradients(gradsG)
         x_bd, flow_up, pred_bd, cm_bd, l_ce, l_l2, l_cm = auxG
 
@@ -178,8 +181,11 @@ def make_inputaware_train_step(cfg: Config, C, G):
         bd_targets = create_targets_bd(y, cfg.attack_mode, cfg.target_label, cfg.num_classes)
         k = jax.random.split(key, 10)
 
-        # C-step (identical to base)
-        noise = G.apply({"params": jax.lax.stop_gradient(stateG.params)}, x)
+        # C-step (identical to base); the G(x) forward is shared with the
+        # G-step pullback (vjp note in steps.py) — G(x2) is a different
+        # input and keeps its own forward below.
+        noise, g_vjp = jax.vjp(lambda p: G.apply({"params": p}, x), stateG.params)
+        noise2, g2_vjp = jax.vjp(lambda p: G.apply({"params": p}, x2), stateG.params)
         x_bd_c = trig(k[0], x, noise)
         poison = (y == bd_targets) & jax.random.bernoulli(k[1], cfg.pc, y.shape)
         x_mix = aug(k[2], jnp.where(poison[:, None, None, None], x_bd_c, x))
@@ -195,12 +201,10 @@ def make_inputaware_train_step(cfg: Config, C, G):
         clean_preds = _apply_eval(clean_model.apply_fn, clean_model.variables, aug(k[3], x))
         varsC = {"params": stateC.params, "batch_stats": stateC.batch_stats}
 
-        def loss_G(paramsG):
-            noise = G.apply({"params": paramsG}, x)
-            x_bd = trig(k[4], x, noise)
-            noise2 = G.apply({"params": paramsG}, x2)
+        def loss_G(nz, nz2):
+            x_bd = trig(k[4], x, nz)
             # cross trigger: noise from x2 applied to x (inputaware:254-258)
-            x_bd2 = trig(k[5], x, noise2)
+            x_bd2 = trig(k[5], x, nz2)
             pred_bd = C.apply(varsC, aug(k[6], x_bd), train=False)
             pred_cross = C.apply(varsC, aug(k[7], x_bd2), train=False)
             l_ce = cross_entropy(pred_bd, bd_targets)
@@ -211,7 +215,10 @@ def make_inputaware_train_step(cfg: Config, C, G):
             total = l_ce + cfg.cross_weight * l_cross + cfg.L2_weight * l_l2 + cfg.clean_model_weight * l_cm
             return total, (x_bd, pred_bd, pred_cross, cm_bd, l_ce, l_cross, l_l2, l_cm)
 
-        (_, auxG), gradsG = jax.value_and_grad(loss_G, has_aux=True)(stateG.params)
+        (_, auxG), (gn, gn2) = jax.value_and_grad(loss_G, argnums=(0, 1), has_aux=True)(noise, noise2)
+        (gradsG,) = g_vjp(gn)
+        (gradsG2,) = g2_vjp(gn2)
+        gradsG = jax.tree.map(jnp.add, gradsG, gradsG2)
         stateG = stateG.apply_gradients(gradsG)
         x_bd, pred_bd, pred_cross, cm_bd, l_ce, l_cross, l_l2, l_cm = auxG
 
@@ -288,7 +295,8 @@ def make_imperceptible_train_step(cfg: Config, C, G):
         bd_targets = create_targets_bd(y, cfg.attack_mode, cfg.target_label, cfg.num_classes)
         k = jax.random.split(key, 10)
 
-        noise = G.apply({"params": jax.lax.stop_gradient(stateG.params)}, x)
+        # single shared G forward (vjp note in steps.py)
+        noise, g_vjp = jax.vjp(lambda p: G.apply({"params": p}, x), stateG.params)
         x_bd_c = trig(k[0], x, noise)
         poison = (y == bd_targets) & jax.random.bernoulli(k[1], cfg.pc, y.shape)
         x_mix = aug(k[2], jnp.where(poison[:, None, None, None], x_bd_c, x))
@@ -304,9 +312,8 @@ def make_imperceptible_train_step(cfg: Config, C, G):
         clean_preds = _apply_eval(clean_model.apply_fn, clean_model.variables, aug(k[3], x))
         varsC = {"params": stateC.params, "batch_stats": stateC.batch_stats}
 
-        def loss_G(paramsG):
-            noise = G.apply({"params": paramsG}, x)
-            x_bd = trig(k[4], x, noise)
+        def loss_G(nz):
+            x_bd = trig(k[4], x, nz)
             pred_bd = C.apply(varsC, aug(k[5], x_bd), train=False)
             l_ce = cross_entropy(pred_bd, bd_targets)
             l_l2 = jnp.mean((x_bd - x) ** 2)
@@ -316,7 +323,8 @@ def make_imperceptible_train_step(cfg: Config, C, G):
             total = l_ce + cfg.L2_weight * l_l2 + cfg.tv_weight * l_tv + cfg.clean_model_weight * l_cm
             return total, (x_bd, pred_bd, cm_bd, l_ce, l_l2, l_tv, l_cm)
 
-        (_, auxG), gradsG = jax.value_and_grad(loss_G, has_aux=True)(stateG.params)
+        (_, auxG), grad_noise = jax.value_and_grad(loss_G, has_aux=True)(noise)
+        (gradsG,) = g_vjp(grad_noise)
         stateG = stateG.apply_gradients(gradsG)
         x_bd, pred_bd, cm_bd, l_ce, l_l2, l_tv, l_cm = auxG
 

@@ -101,6 +101,63 @@ def test_alternated_step_updates_both_and_isolates_grads():
     assert 0.0 <= float(m["clean_correct"]) <= 8.0
 
 
+def test_alternated_step_vjp_matches_double_forward():
+    """The production step computes G(x) ONCE and pulls dL/d(noise) back
+    through ``jax.vjp`` (train/steps.py).  The reference-shaped formulation
+    runs a second G forward inside the G-loss (train_generator.py:186,223);
+    both must produce the same updated params to fp tolerance."""
+    from combat_tpu.train.steps import _apply_eval, _aug_fn, _trigger_fn, cross_entropy
+
+    cfg = make_cfg(bs=8, pc=0.5)
+    C, G, sC, sG, cm, nf = _setup_states(cfg)
+    x = jax.random.uniform(jax.random.key(5), (8, 32, 32, 3), minval=-1, maxval=1)
+    y = jax.random.randint(jax.random.key(6), (8,), 0, 10)
+    key = jax.random.key(7)
+
+    aug, trig = _aug_fn(cfg), _trigger_fn(cfg)
+
+    def reference_shaped_step(stateC, stateG):
+        """Old-style step: same PRNG layout, G forward re-run in loss_G."""
+        bd_targets = create_targets_bd(y, cfg.attack_mode, cfg.target_label, cfg.num_classes)
+        k = jax.random.split(key, 10)
+        noise = G.apply({"params": jax.lax.stop_gradient(stateG.params)}, x)
+        x_bd_c = trig(k[0], x, noise)
+        is_target = y == bd_targets
+        poison = is_target & jax.random.bernoulli(k[1], cfg.pc, y.shape)
+        x_mix = aug(k[2], jnp.where(poison[:, None, None, None], x_bd_c, x))
+
+        def loss_C(params):
+            logits, mut = C.apply(
+                {"params": params, "batch_stats": stateC.batch_stats}, x_mix, train=True, mutable=["batch_stats"]
+            )
+            return cross_entropy(logits, y), mut["batch_stats"]
+
+        (_, new_bs), gradsC = jax.value_and_grad(loss_C, has_aux=True)(stateC.params)
+        stateC = stateC.apply_gradients(gradsC, batch_stats=new_bs)
+        varsC = {"params": stateC.params, "batch_stats": stateC.batch_stats}
+
+        def loss_G(paramsG):
+            nz = G.apply({"params": paramsG}, x)
+            x_bd = trig(k[4], x, nz)
+            pred_bd = C.apply(varsC, aug(k[5], x_bd), train=False)
+            l_ce = cross_entropy(pred_bd, bd_targets)
+            l_l2 = jnp.mean((x_bd - x) ** 2)
+            cm_bd = _apply_eval(cm.apply_fn, cm.variables, aug(k[6], x_bd))
+            return l_ce + cfg.L2_weight * l_l2 + cfg.clean_model_weight * cross_entropy(cm_bd, y)
+
+        gradsG = jax.grad(loss_G)(stateG.params)
+        return stateC, stateG.apply_gradients(gradsG)
+
+    step = jax.jit(make_alternated_train_step(cfg, C, G))
+    sC_new, sG_new, _ = step(sC, sG, cm, nf, (x, y), key)
+    sC_old, sG_old = jax.jit(reference_shaped_step)(sC, sG)
+
+    for a, b in zip(jax.tree.leaves(sG_new.params), jax.tree.leaves(sG_old.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(sC_new.params), jax.tree.leaves(sC_old.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
 def test_alternated_epoch_loss_decreases():
     cfg = make_cfg(bs=8, pc=0.5)
     C, G, sC, sG, cm, nf = _setup_states(cfg)
