@@ -221,6 +221,54 @@ def multires_section(logdir="./quality_logs"):
     ]
 
 
+def seed_sweep_section(logdir="./quality_logs"):
+    """Reproducibility of the r11 recipe across training seeds (same v10
+    synthetic data; the dataset PRNG is independent of --seed)."""
+    import re
+
+    runs = [
+        ("r11", 1, f"{logdir}/r11/run.log"),
+        ("r11rebuild", 1, f"{logdir}/r11_rebuild2.log"),
+        ("s2", 2, f"{logdir}/s2/run.log"),
+        ("s3", 3, f"{logdir}/s3/run.log"),
+    ]
+    rows = []
+    for prefix, seed, path in runs:
+        if not os.path.exists(path):
+            continue
+        stage, vic_epochs, final = None, 0, None
+        for line in open(path):
+            m = re.search(r"=== stage (\d)", line)
+            if m:
+                stage = int(m.group(1))
+            if stage == 3 and line.startswith("Epoch "):
+                vic_epochs += 1
+            m = re.search(r"FINAL: Clean Acc ([\d.]+) \| Bd BA ([\d.]+) \| Bd ASR ([\d.]+)", line)
+            if m:
+                final = tuple(float(g) for g in m.groups())
+        if final:
+            rows.append(
+                f"| `{prefix}` | {seed} | {vic_epochs} | {final[0]:.2f} | {final[1]:.2f} | **{final[2]:.2f}** |"
+            )
+    if len(rows) < 2:
+        return []
+    return [
+        "## Seed reproducibility of the r11 recipe",
+        "",
+        "The full r11 pipeline (clean 100 → generator 200 → victim 200 →",
+        "eval) re-run end-to-end at fresh training seeds on the same v10",
+        "data.  `r11rebuild` is the round-3 checkpoint-regeneration rerun:",
+        "its victim ran only 100 epochs — the MultiStepLR milestones are",
+        "(100, 150) *epochs*, so a 100-epoch victim never enters the",
+        "LR-decay phase; it is listed for provenance, not as a seed sample.",
+        "",
+        "| run | seed | victim epochs | victim Clean Acc | Bd BA | Bd ASR |",
+        "|---|---|---|---|---|---|",
+        *rows,
+        "",
+    ]
+
+
 # Per-run provenance notes rendered under the section header.
 RUN_NOTES = {
     "r10": (
@@ -230,14 +278,16 @@ RUN_NOTES = {
         "Bd ASR 96.84) is recorded in the iteration table above."
     ),
     "r11rebuild": (
-        "Independent rerun of the exact `r11` recipe, executed solely to "
-        "regenerate the `r11_atk_clean` checkpoint for the "
-        "frequency-detector evals after a container reset wiped "
-        "`checkpoints/` (the original `r11` full log is committed at "
-        "`quality_logs/r11/run.log`).  Alternated-GAN convergence has "
-        "run-to-run variance on this distribution; this rerun landed at "
-        "ASR 96.13 vs the original 99.20.  The frequency-defense rows "
-        "above target THIS generator."
+        "Rerun of the `r11` recipe, executed solely to regenerate the "
+        "`r11_atk_clean` checkpoint for the frequency-detector evals after "
+        "a container reset wiped `checkpoints/` (the original `r11` full "
+        "log is committed at `quality_logs/r11/run.log`).  It landed at "
+        "ASR 96.13 vs the original 99.20 — but its victim stage ran only "
+        "100 epochs vs r11's 200, and the MultiStepLR milestones are "
+        "(100, 150) *epochs*: its victim never entered the LR-decay phase, "
+        "so this is not a like-for-like seed sample (see the "
+        "seed-reproducibility section for full-recipe reruns).  The "
+        "frequency-defense rows above target THIS generator."
     ),
 }
 
@@ -317,6 +367,7 @@ def main():
         "this table.)",
         "",
     ]
+    out += seed_sweep_section()
     out += variant_section()
     out += frequency_section()
     out += multires_section()

@@ -31,7 +31,7 @@ for SEED in 2 3; do
     echo "=== [seed $SEED] r11 recipe, fresh seed (reproducibility) ==="
     rm -rf checkpoints/s${SEED}_clean_cls checkpoints/s${SEED}_atk_clean checkpoints/s${SEED}_victim_clean
     mkdir -p quality_logs/s${SEED}
-    Q_PREFIX=s${SEED} Q_EPOCHS_CLEAN=100 Q_EPOCHS_GEN=200 Q_EPOCHS_VICTIM=100 \
+    Q_PREFIX=s${SEED} Q_EPOCHS_CLEAN=100 Q_EPOCHS_GEN=200 Q_EPOCHS_VICTIM=200 \
         Q_EXTRA="--seed ${SEED}" \
         timeout 18000 python scripts/quality_run.py 2>&1 | tee quality_logs/s${SEED}/run.log
     land "Evidence: r11-recipe reproducibility run at seed ${SEED}" quality_logs/s${SEED}/run.log
@@ -40,7 +40,7 @@ done
 probe
 echo "=== celeba 64px full quality pipeline ==="
 rm -rf checkpoints/cel_clean_cls checkpoints/cel_atk_clean checkpoints/cel_victim_clean checkpoints/cel_eval_clean
-Q_DATASET=celeba Q_PREFIX=cel Q_EPOCHS_CLEAN=60 Q_EPOCHS_GEN=200 Q_EPOCHS_VICTIM=100 \
+Q_DATASET=celeba Q_PREFIX=cel Q_EPOCHS_CLEAN=60 Q_EPOCHS_GEN=200 Q_EPOCHS_VICTIM=200 \
     timeout 21600 python scripts/quality_run.py 2>&1 | tee quality_logs/quality_celeba_r3.log
 land "Evidence: clean celeba 64px pipeline rerun (replaces queue-collision log)" quality_logs/quality_celeba_r3.log
 
@@ -51,5 +51,15 @@ Q_DATASET=imagenet10 Q_BS=32 Q_PREFIX=in10 Q_EXTRA="--synthetic_size 2000" \
     Q_EPOCHS_CLEAN=20 Q_EPOCHS_GEN=50 Q_EPOCHS_VICTIM=30 \
     timeout 21600 python scripts/quality_run.py 2>&1 | tee quality_logs/quality_imagenet10_r3.log
 land "Evidence: imagenet10 224px reduced pipeline" quality_logs/quality_imagenet10_r3.log
+
+probe
+echo "=== variant-step throughput, post vjp-shared-forward ==="
+python scripts/bench_variants.py 2>&1 | tee quality_logs/bench_variants_r3b.log
+land "Evidence: variant throughput after the vjp shared forward" quality_logs/bench_variants_r3b.log
+
+probe
+echo "=== step ablation, post vjp-shared-forward ==="
+python scripts/perf_ablation.py 2>&1 | tee quality_logs/perf_ablation_r3b.log
+land "Evidence: step ablation after the vjp shared forward" quality_logs/perf_ablation_r3b.log
 
 echo "=== r3b queue done ==="
