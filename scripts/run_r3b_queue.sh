@@ -63,3 +63,22 @@ python scripts/perf_ablation.py 2>&1 | tee quality_logs/perf_ablation_r3b.log
 land "Evidence: step ablation after the vjp shared forward" quality_logs/perf_ablation_r3b.log
 
 echo "=== r3b queue done ==="
+
+# --- appended stages (round-3 continuation session) ---
+
+probe
+echo "=== roofline analysis ==="
+timeout 3600 python scripts/roofline.py 2>&1 | tee quality_logs/roofline_r3.log
+land "Evidence: roofline analysis of the fused step" quality_logs/roofline_r3.log
+
+probe
+echo "=== resolution-sweep throughput (32/64/224px) ==="
+timeout 3600 python scripts/bench_resolutions.py 2>&1 | tee quality_logs/bench_resolutions_r3.log
+land "Evidence: alternated-step throughput across dataset geometries" quality_logs/bench_resolutions_r3.log
+
+probe
+echo "=== headline bench re-measure (post vjp) ==="
+timeout 3600 python bench.py 2>&1 | tee quality_logs/bench_headline_r3b.log
+land "Evidence: headline bench after the vjp shared forward" quality_logs/bench_headline_r3b.log
+
+echo "=== r3b queue extension done ==="
