@@ -167,6 +167,25 @@ def main() -> None:
     img_s = BATCH * TIMED_STEPS / dt
     img_s_chip = img_s / n_chips
 
+    # Production mode: --train_metrics loss_only drops the three metric-only
+    # forwards the reference computes every batch (train_generator.py:214,227,
+    # 245-247).  Trajectory-identical (tests/test_attack_train.py); reported
+    # as a secondary number — the headline stays the full-metrics loop so the
+    # vs_baseline ratio compares identical per-step work.
+    step_fast = make_alternated_train_step(cfg.replace(train_metrics="loss_only"), C, G)
+    with mesh:
+        sC2, sG2, m = train_epoch_alternated(
+            step_fast, stateC, stateG, clean_model, netF, images, labels, jax.random.key(12), BATCH
+        )
+        float(m["loss_ce"])
+        t0 = time.perf_counter()
+        sC2, sG2, m = train_epoch_alternated(
+            step_fast, stateC, stateG, clean_model, netF, images, labels, jax.random.key(13), BATCH
+        )
+        float(m["loss_ce"])
+        dt_fast = time.perf_counter() - t0
+    loss_only_img_s_chip = BATCH * TIMED_STEPS / dt_fast / n_chips
+
     measured = None
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
     if os.path.exists(path):
@@ -177,6 +196,7 @@ def main() -> None:
         "metric": "alternated-train images/sec/chip (CIFAR-10 PreActResNet18+UNet, bs=128)",
         "value": round(img_s_chip, 1),
         "unit": "images/sec/chip",
+        "loss_only_img_s_chip": round(loss_only_img_s_chip, 1),
     }
     if measured:
         out["vs_baseline"] = round(img_s_chip / measured["img_s"], 1)

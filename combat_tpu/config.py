@@ -118,6 +118,15 @@ class Config:
     process_id: int = -1
     num_processes: int = -1
     compute_dtype: str = "float32"  # bfloat16 for max MXU throughput
+    # Train-time metric forwards in the alternated steps: "full" replicates
+    # the reference's metric-only passes every batch (clean_model(aug(x)),
+    # netC(aug(x)), netF(dct(x_bd)) — train_generator.py:214,227,245-247);
+    # "loss_only" skips them for throughput. The training trajectory is
+    # bit-identical (none of them feed gradients, and PRNG subkeys are
+    # consumed by index, not sequentially — tests/test_attack_train.py);
+    # the skipped train-time metrics report 0 and per-epoch eval metrics
+    # are unaffected.
+    train_metrics: str = "full"  # full | loss_only
     pallas_lowfreq: bool = False  # fused VMEM low-pass kernel (TPU only)
     pallas_trigger: bool = False  # whole trigger chain (low-pass+clamp+blur) as one Pallas kernel
     profile_dir: str = ""  # non-empty: jax.profiler trace of one post-compile epoch

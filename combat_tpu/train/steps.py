@@ -91,6 +91,7 @@ def _apply_eval(model_apply, variables, x, dropout_key=None):
 def make_alternated_train_step(cfg: Config, C, G):
     aug = _aug_fn(cfg)
     trig = _trigger_fn(cfg)
+    full_metrics = cfg.train_metrics == "full"
 
     def step(
         stateC: TrainState,
@@ -134,8 +135,12 @@ def make_alternated_train_step(cfg: Config, C, G):
         (loss_ce_c, new_bs), gradsC = jax.value_and_grad(loss_C, has_aux=True)(stateC.params)
         stateC = stateC.apply_gradients(gradsC, batch_stats=new_bs)
 
-        # clean-model forward on augmented clean inputs (metrics only, :214)
-        clean_preds = _apply_eval(clean_model.apply_fn, clean_model.variables, aug(k[3], x))
+        # clean-model forward on augmented clean inputs (metrics only, :214);
+        # skipped in loss_only mode — k[3] stays reserved so the other
+        # subkey streams are unchanged either way
+        zero = jnp.zeros((), jnp.float32)
+        if full_metrics:
+            clean_preds = _apply_eval(clean_model.apply_fn, clean_model.variables, aug(k[3], x))
 
         # ---- G-step (netC eval with just-updated stats, netG train) ----
         varsC = {"params": stateC.params, "batch_stats": stateC.batch_stats}
@@ -157,8 +162,9 @@ def make_alternated_train_step(cfg: Config, C, G):
         stateG = stateG.apply_gradients(gradsG)
         x_bd, pred_bd, cm_bd, l_ce, l_l2, l_cm = auxG
 
-        pred_clean = C.apply(varsC, aug(k[7], x), train=False)
-        pred_F = _apply_eval(netF.apply_fn, netF.variables, detector_features(x_bd), dropout_key=k[8])
+        if full_metrics:
+            pred_clean = C.apply(varsC, aug(k[7], x), train=False)
+            pred_F = _apply_eval(netF.apply_fn, netF.variables, detector_features(x_bd), dropout_key=k[8])
 
         metrics = {
             "sample": jnp.asarray(bs, jnp.float32),
@@ -166,10 +172,12 @@ def make_alternated_train_step(cfg: Config, C, G):
             "loss_l2": l_l2,
             "loss_grad_l2": grad_l2_metric(x, x_bd),
             "clean_model_loss": l_cm,
-            "clean_correct": jnp.sum(jnp.argmax(pred_clean, -1) == y).astype(jnp.float32),
+            "clean_correct": jnp.sum(jnp.argmax(pred_clean, -1) == y).astype(jnp.float32) if full_metrics else zero,
             "bd_correct": jnp.sum(jnp.argmax(pred_bd, -1) == bd_targets).astype(jnp.float32),
-            "F_correct": jnp.sum(jnp.argmax(pred_F, -1) == 1).astype(jnp.float32),
-            "clean_model_correct": jnp.sum(jnp.argmax(clean_preds, -1) == y).astype(jnp.float32),
+            "F_correct": jnp.sum(jnp.argmax(pred_F, -1) == 1).astype(jnp.float32) if full_metrics else zero,
+            "clean_model_correct": jnp.sum(jnp.argmax(clean_preds, -1) == y).astype(jnp.float32)
+            if full_metrics
+            else zero,
             "clean_model_bd_ba": jnp.sum(jnp.argmax(cm_bd, -1) == y).astype(jnp.float32),
             "clean_model_bd_asr": jnp.sum(jnp.argmax(cm_bd, -1) == bd_targets).astype(jnp.float32),
         }

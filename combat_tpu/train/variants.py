@@ -75,6 +75,7 @@ def _wanet_grad_l2(flow_up: jnp.ndarray) -> jnp.ndarray:
 
 def make_wanet_train_step(cfg: Config, C, G):
     aug = _aug_fn(cfg)
+    full_metrics = cfg.train_metrics == "full"  # see config.train_metrics
 
     def step(stateC, stateG, clean_model, netF, batch, key):
         x, y = batch
@@ -100,7 +101,9 @@ def make_wanet_train_step(cfg: Config, C, G):
         (_, new_bs), gradsC = jax.value_and_grad(loss_C, has_aux=True)(stateC.params)
         stateC = stateC.apply_gradients(gradsC, batch_stats=new_bs)
 
-        clean_preds = _apply_eval(clean_model.apply_fn, clean_model.variables, aug(k[2], x))
+        zero = jnp.zeros((), jnp.float32)
+        if full_metrics:
+            clean_preds = _apply_eval(clean_model.apply_fn, clean_model.variables, aug(k[2], x))
         varsC = {"params": stateC.params, "batch_stats": stateC.batch_stats}
 
         def loss_G(fl):
@@ -118,8 +121,9 @@ def make_wanet_train_step(cfg: Config, C, G):
         stateG = stateG.apply_gradients(gradsG)
         x_bd, flow_up, pred_bd, cm_bd, l_ce, l_l2, l_cm = auxG
 
-        pred_clean = C.apply(varsC, aug(k[5], x), train=False)
-        pred_F = _apply_eval(netF.apply_fn, netF.variables, detector_features(x_bd), dropout_key=k[6])
+        if full_metrics:
+            pred_clean = C.apply(varsC, aug(k[5], x), train=False)
+            pred_F = _apply_eval(netF.apply_fn, netF.variables, detector_features(x_bd), dropout_key=k[6])
 
         metrics = {
             "sample": jnp.asarray(bs, jnp.float32),
@@ -127,10 +131,12 @@ def make_wanet_train_step(cfg: Config, C, G):
             "loss_l2": l_l2,
             "loss_grad_l2": _wanet_grad_l2(flow_up),
             "clean_model_loss": l_cm,
-            "clean_correct": jnp.sum(jnp.argmax(pred_clean, -1) == y).astype(jnp.float32),
+            "clean_correct": jnp.sum(jnp.argmax(pred_clean, -1) == y).astype(jnp.float32) if full_metrics else zero,
             "bd_correct": jnp.sum(jnp.argmax(pred_bd, -1) == bd_targets).astype(jnp.float32),
-            "F_correct": jnp.sum(jnp.argmax(pred_F, -1) == 1).astype(jnp.float32),
-            "clean_model_correct": jnp.sum(jnp.argmax(clean_preds, -1) == y).astype(jnp.float32),
+            "F_correct": jnp.sum(jnp.argmax(pred_F, -1) == 1).astype(jnp.float32) if full_metrics else zero,
+            "clean_model_correct": jnp.sum(jnp.argmax(clean_preds, -1) == y).astype(jnp.float32)
+            if full_metrics
+            else zero,
             "clean_model_bd_ba": jnp.sum(jnp.argmax(cm_bd, -1) == y).astype(jnp.float32),
             "clean_model_bd_asr": jnp.sum(jnp.argmax(cm_bd, -1) == bd_targets).astype(jnp.float32),
         }
@@ -174,6 +180,7 @@ def make_wanet_eval_step(cfg: Config, C, G):
 def make_inputaware_train_step(cfg: Config, C, G):
     aug = _aug_fn(cfg)
     trig = _trigger_fn(cfg)
+    full_metrics = cfg.train_metrics == "full"  # see config.train_metrics
 
     def step(stateC, stateG, clean_model, netF, batch, key):
         x, y, x2 = batch
@@ -198,7 +205,9 @@ def make_inputaware_train_step(cfg: Config, C, G):
 
         (_, new_bs), gradsC = jax.value_and_grad(loss_C, has_aux=True)(stateC.params)
         stateC = stateC.apply_gradients(gradsC, batch_stats=new_bs)
-        clean_preds = _apply_eval(clean_model.apply_fn, clean_model.variables, aug(k[3], x))
+        zero = jnp.zeros((), jnp.float32)
+        if full_metrics:
+            clean_preds = _apply_eval(clean_model.apply_fn, clean_model.variables, aug(k[3], x))
         varsC = {"params": stateC.params, "batch_stats": stateC.batch_stats}
 
         def loss_G(nz, nz2):
@@ -222,8 +231,9 @@ def make_inputaware_train_step(cfg: Config, C, G):
         stateG = stateG.apply_gradients(gradsG)
         x_bd, pred_bd, pred_cross, cm_bd, l_ce, l_cross, l_l2, l_cm = auxG
 
-        pred_clean = C.apply(varsC, aug(k[9], x), train=False)
-        pred_F = _apply_eval(netF.apply_fn, netF.variables, detector_features(x_bd), dropout_key=k[0])
+        if full_metrics:
+            pred_clean = C.apply(varsC, aug(k[9], x), train=False)
+            pred_F = _apply_eval(netF.apply_fn, netF.variables, detector_features(x_bd), dropout_key=k[0])
 
         metrics = {
             "sample": jnp.asarray(bs, jnp.float32),
@@ -231,11 +241,13 @@ def make_inputaware_train_step(cfg: Config, C, G):
             "loss_l2": l_l2,
             "loss_cross": l_cross,
             "clean_model_loss": l_cm,
-            "clean_correct": jnp.sum(jnp.argmax(pred_clean, -1) == y).astype(jnp.float32),
+            "clean_correct": jnp.sum(jnp.argmax(pred_clean, -1) == y).astype(jnp.float32) if full_metrics else zero,
             "cross_correct": jnp.sum(jnp.argmax(pred_cross, -1) == y).astype(jnp.float32),
             "bd_correct": jnp.sum(jnp.argmax(pred_bd, -1) == bd_targets).astype(jnp.float32),
-            "F_correct": jnp.sum(jnp.argmax(pred_F, -1) == 1).astype(jnp.float32),
-            "clean_model_correct": jnp.sum(jnp.argmax(clean_preds, -1) == y).astype(jnp.float32),
+            "F_correct": jnp.sum(jnp.argmax(pred_F, -1) == 1).astype(jnp.float32) if full_metrics else zero,
+            "clean_model_correct": jnp.sum(jnp.argmax(clean_preds, -1) == y).astype(jnp.float32)
+            if full_metrics
+            else zero,
             "clean_model_bd_ba": jnp.sum(jnp.argmax(cm_bd, -1) == y).astype(jnp.float32),
             "clean_model_bd_asr": jnp.sum(jnp.argmax(cm_bd, -1) == bd_targets).astype(jnp.float32),
         }
@@ -288,6 +300,7 @@ def make_inputaware_eval_step(cfg: Config, C, G):
 def make_imperceptible_train_step(cfg: Config, C, G):
     aug = _aug_fn(cfg)
     trig = _trigger_fn(cfg)
+    full_metrics = cfg.train_metrics == "full"  # see config.train_metrics
 
     def step(stateC, stateG, clean_model, netF, batch, key):
         x, y = batch
@@ -309,7 +322,9 @@ def make_imperceptible_train_step(cfg: Config, C, G):
 
         (_, new_bs), gradsC = jax.value_and_grad(loss_C, has_aux=True)(stateC.params)
         stateC = stateC.apply_gradients(gradsC, batch_stats=new_bs)
-        clean_preds = _apply_eval(clean_model.apply_fn, clean_model.variables, aug(k[3], x))
+        zero = jnp.zeros((), jnp.float32)
+        if full_metrics:
+            clean_preds = _apply_eval(clean_model.apply_fn, clean_model.variables, aug(k[3], x))
         varsC = {"params": stateC.params, "batch_stats": stateC.batch_stats}
 
         def loss_G(nz):
@@ -328,8 +343,9 @@ def make_imperceptible_train_step(cfg: Config, C, G):
         stateG = stateG.apply_gradients(gradsG)
         x_bd, pred_bd, cm_bd, l_ce, l_l2, l_tv, l_cm = auxG
 
-        pred_clean = C.apply(varsC, aug(k[7], x), train=False)
-        pred_F = _apply_eval(netF.apply_fn, netF.variables, detector_features(x_bd), dropout_key=k[8])
+        if full_metrics:
+            pred_clean = C.apply(varsC, aug(k[7], x), train=False)
+            pred_F = _apply_eval(netF.apply_fn, netF.variables, detector_features(x_bd), dropout_key=k[8])
 
         metrics = {
             "sample": jnp.asarray(bs, jnp.float32),
@@ -338,10 +354,12 @@ def make_imperceptible_train_step(cfg: Config, C, G):
             "loss_tv": l_tv,
             "loss_grad_l2": grad_l2_metric(x, x_bd),
             "clean_model_loss": l_cm,
-            "clean_correct": jnp.sum(jnp.argmax(pred_clean, -1) == y).astype(jnp.float32),
+            "clean_correct": jnp.sum(jnp.argmax(pred_clean, -1) == y).astype(jnp.float32) if full_metrics else zero,
             "bd_correct": jnp.sum(jnp.argmax(pred_bd, -1) == bd_targets).astype(jnp.float32),
-            "F_correct": jnp.sum(jnp.argmax(pred_F, -1) == 1).astype(jnp.float32),
-            "clean_model_correct": jnp.sum(jnp.argmax(clean_preds, -1) == y).astype(jnp.float32),
+            "F_correct": jnp.sum(jnp.argmax(pred_F, -1) == 1).astype(jnp.float32) if full_metrics else zero,
+            "clean_model_correct": jnp.sum(jnp.argmax(clean_preds, -1) == y).astype(jnp.float32)
+            if full_metrics
+            else zero,
             "clean_model_bd_ba": jnp.sum(jnp.argmax(cm_bd, -1) == y).astype(jnp.float32),
             "clean_model_bd_asr": jnp.sum(jnp.argmax(cm_bd, -1) == bd_targets).astype(jnp.float32),
         }
@@ -358,6 +376,7 @@ def make_imperceptible_train_step(cfg: Config, C, G):
 def make_multilabel_train_step(cfg: Config, C, G):
     aug = _aug_fn(cfg)
     trig = _trigger_fn(cfg)
+    full_metrics = cfg.train_metrics == "full"  # see config.train_metrics
 
     def step(stateC, stateG, clean_model, netF, batch, key):
         x, y = batch
@@ -379,7 +398,9 @@ def make_multilabel_train_step(cfg: Config, C, G):
 
         (_, new_bs), gradsC = jax.value_and_grad(loss_C, has_aux=True)(stateC.params)
         stateC = stateC.apply_gradients(gradsC, batch_stats=new_bs)
-        clean_preds = _apply_eval(clean_model.apply_fn, clean_model.variables, aug(k[3], x))
+        zero = jnp.zeros((), jnp.float32)
+        if full_metrics:
+            clean_preds = _apply_eval(clean_model.apply_fn, clean_model.variables, aug(k[3], x))
         varsC = {"params": stateC.params, "batch_stats": stateC.batch_stats}
 
         # G-step: row i targets class i // ceil(bs/K) — jit-friendly form of
@@ -402,18 +423,21 @@ def make_multilabel_train_step(cfg: Config, C, G):
         stateG = stateG.apply_gradients(gradsG)
         x_bd, pred_bd, cm_bd, l_ce, l_l2, l_cm = auxG
 
-        pred_clean = C.apply(varsC, aug(k[7], x), train=False)
-        pred_F = _apply_eval(netF.apply_fn, netF.variables, detector_features(x_bd), dropout_key=k[8])
+        if full_metrics:
+            pred_clean = C.apply(varsC, aug(k[7], x), train=False)
+            pred_F = _apply_eval(netF.apply_fn, netF.variables, detector_features(x_bd), dropout_key=k[8])
 
         metrics = {
             "sample": jnp.asarray(bs, jnp.float32),
             "loss_ce": l_ce,
             "loss_l2": l_l2,
             "clean_model_loss": l_cm,
-            "clean_correct": jnp.sum(jnp.argmax(pred_clean, -1) == y).astype(jnp.float32),
+            "clean_correct": jnp.sum(jnp.argmax(pred_clean, -1) == y).astype(jnp.float32) if full_metrics else zero,
             "bd_correct": jnp.sum(jnp.argmax(pred_bd, -1) == bd_targets).astype(jnp.float32),
-            "F_correct": jnp.sum(jnp.argmax(pred_F, -1) == 1).astype(jnp.float32),
-            "clean_model_correct": jnp.sum(jnp.argmax(clean_preds, -1) == y).astype(jnp.float32),
+            "F_correct": jnp.sum(jnp.argmax(pred_F, -1) == 1).astype(jnp.float32) if full_metrics else zero,
+            "clean_model_correct": jnp.sum(jnp.argmax(clean_preds, -1) == y).astype(jnp.float32)
+            if full_metrics
+            else zero,
             "clean_model_bd_ba": jnp.sum(jnp.argmax(cm_bd, -1) == y).astype(jnp.float32),
             "clean_model_bd_asr": jnp.sum(jnp.argmax(cm_bd, -1) == bd_targets).astype(jnp.float32),
         }

@@ -73,6 +73,9 @@ def main():
         "no blur (kernel_size=1)": base.replace(kernel_size=1, sigma=(1e-6, 1e-6)),
         "pallas low-pass": base.replace(pallas_lowfreq=True),
         "pallas fused trigger": base.replace(pallas_trigger=True),
+        # production mode: metric-only forwards skipped, trajectory-identical
+        # (tests/test_attack_train.py::test_loss_only_metrics_mode_is_trajectory_identical)
+        "loss_only metrics": base.replace(train_metrics="loss_only"),
     }
     for label, cfg in variants.items():
         time_step(make_alternated_train_step(cfg, C, G), args(cfg), label)

@@ -158,6 +158,38 @@ def test_alternated_step_vjp_matches_double_forward():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+def test_loss_only_metrics_mode_is_trajectory_identical():
+    """``--train_metrics loss_only`` drops the metric-only forwards
+    (clean_model(aug(x)), C(aug(x)), F(dct(x_bd)) — reference
+    ``train_generator.py:214,227,245-247``) for throughput.  None feed
+    gradients and PRNG subkeys are consumed by index, so two steps from the
+    same state must produce bit-identical params in both modes; the gated
+    metrics report 0 and the loss-carried metrics are unchanged."""
+    cfg_full = make_cfg(bs=8, pc=0.5)
+    cfg_fast = cfg_full.replace(train_metrics="loss_only")
+    C, G, sC, sG, cm, nf = _setup_states(cfg_full)
+    x = jax.random.uniform(jax.random.key(5), (8, 32, 32, 3), minval=-1, maxval=1)
+    y = jax.random.randint(jax.random.key(6), (8,), 0, 10)
+
+    def run(cfg):
+        step = jax.jit(make_alternated_train_step(cfg, C, G))
+        a, b, m = step(sC, sG, cm, nf, (x, y), jax.random.key(7))
+        a, b, m2 = step(a, b, cm, nf, (x, y), jax.random.key(8))
+        return a, b, m, m2
+
+    fC, fG, fm, fm2 = run(cfg_full)
+    qC, qG, qm, qm2 = run(cfg_fast)
+
+    for a, b in zip(jax.tree.leaves((fC.params, fG.params, fC.batch_stats)),
+                    jax.tree.leaves((qC.params, qG.params, qC.batch_stats))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for k in ("loss_ce", "loss_l2", "bd_correct", "clean_model_bd_ba", "clean_model_bd_asr"):
+        np.testing.assert_array_equal(np.asarray(fm[k]), np.asarray(qm[k]))
+        np.testing.assert_array_equal(np.asarray(fm2[k]), np.asarray(qm2[k]))
+    for k in ("clean_correct", "F_correct", "clean_model_correct"):
+        assert float(qm[k]) == 0.0 and float(qm2[k]) == 0.0
+
+
 def test_alternated_epoch_loss_decreases():
     cfg = make_cfg(bs=8, pc=0.5)
     C, G, sC, sG, cm, nf = _setup_states(cfg)

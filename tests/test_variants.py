@@ -148,6 +148,33 @@ def test_multilabel_chunk_targets_and_eval():
     assert float(em["bd_sample"]) == 90.0
 
 
+def test_loss_only_metrics_trajectory_identical_across_variants():
+    """``--train_metrics loss_only`` must leave every variant step's updated
+    params bit-identical (the gated forwards are metric-only; see
+    tests/test_attack_train.py for the base step)."""
+    cases = [
+        ("wanet", make_wanet_train_step, TinyGridGenerator(s=2), False, 2),
+        ("inputaware", make_inputaware_train_step, TinyGenerator(), False, 3),
+        ("imperceptible", make_imperceptible_train_step, TinyGenerator(), False, 2),
+        ("multilabel", make_multilabel_train_step, TinyCondGenerator(), True, 2),
+    ]
+    x, y = batch()
+    for name, factory, G, cond, arity in cases:
+        C = TinyClassifier()
+        sC, sG, cm, nf = setup(C, G, cond=cond)
+        b = (x, y, jnp.roll(x, 1, axis=0)) if arity == 3 else (x, y)
+        outs = []
+        for mode in ("full", "loss_only"):
+            cfg = make_cfg(bs=8, train_metrics=mode)
+            sC2, sG2, m = jax.jit(factory(cfg, C, G))(sC, sG, cm, nf, b, jax.random.key(8))
+            outs.append((sC2, sG2, m))
+        (fC, fG, fm), (qC, qG, qm) = outs
+        for a, b2 in zip(jax.tree.leaves((fC.params, fG.params)), jax.tree.leaves((qC.params, qG.params))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b2), err_msg=name)
+        assert float(qm["F_correct"]) == 0.0 and float(qm["clean_correct"]) == 0.0, name
+        np.testing.assert_array_equal(np.asarray(fm["loss_ce"]), np.asarray(qm["loss_ce"]), err_msg=name)
+
+
 def test_wanet_victim_step():
     cfg = make_cfg(bs=8)
     C, G = TinyClassifier(), TinyGridGenerator(s=cfg.s)
