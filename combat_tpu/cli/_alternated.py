@@ -24,6 +24,7 @@ from ..train import (
     init_train_state,
     metrics_to_host,
     multistep_lr,
+    multistep_lr_resume,
     padded_eval_batches,
     sgd_torch,
     train_epoch_alternated,
@@ -147,10 +148,9 @@ def run_alternated(cfg: Config, spec: AlternatedSpec):
             **extra,
             "F_detector_loaded": f_detector_loaded,
             # LR milestones are epoch-indexed but the optax schedule is
-            # step-indexed (multistep_lr binds steps_per_epoch at
-            # construction); persist the binding so a resume under a
-            # different dataset size (--debug vs full) can't silently shift
-            # the milestone boundaries (VERDICT r2 weak #5)
+            # step-indexed; the saved cadence lets a resume detect a
+            # dataset-size change and warn (multistep_lr_resume re-anchors
+            # the boundaries either way — VERDICT r2 weak #5)
             "scheduler_steps_per_epoch": spe,
             "epoch_current": epoch,
         }
@@ -164,20 +164,34 @@ def run_alternated(cfg: Config, spec: AlternatedSpec):
         if saved_spe != spe:
             print(
                 f"WARNING: checkpoint was trained at {saved_spe} steps/epoch but the "
-                f"current dataset gives {spe}; rebuilding LR schedules on the saved "
-                "value so the milestone boundaries keep their original positions"
+                f"current dataset gives {spe}; re-anchoring the remaining LR milestones "
+                "on the new cadence (epoch-indexed MultiStepLR semantics)"
             )
-            txC = sgd_torch(multistep_lr(cfg.lr_C, cfg.schedulerC_milestones, cfg.schedulerC_lambda, saved_spe))
-            if spec.g_lr_from_c:
-                txG = sgd_torch(multistep_lr(cfg.lr_C * 0.1, cfg.schedulerC_milestones, cfg.schedulerC_lambda, saved_spe))
-            else:
-                txG = sgd_torch(multistep_lr(cfg.lr_G, cfg.schedulerG_milestones, cfg.schedulerG_lambda, saved_spe))
-            stateC = stateC.replace(tx=txC)
-            stateG = stateG.replace(tx=txG)
-            # persist the spe the active schedules are actually bound to, so
-            # a SECOND resume rebuilds on the same boundaries (payload_of
-            # closes over spe)
-            spe = saved_spe
+        # Rebuild both schedules anchored at the resume point: torch
+        # MultiStepLR is epoch-indexed, so remaining milestones must fire at
+        # the right EPOCH even if steps/epoch changed (multistep_lr_resume
+        # docstring); with an unchanged cadence this is identical to the
+        # fresh schedules.
+        epochs_done = int(payload["epoch_current"]) + 1
+        txC = sgd_torch(
+            multistep_lr_resume(
+                cfg.lr_C, cfg.schedulerC_milestones, cfg.schedulerC_lambda, spe,
+                epochs_done=epochs_done, resume_step=int(payload["schedulerC"]["step"]),
+            )
+        )
+        g_lr, g_ms, g_gamma = (
+            (cfg.lr_C * 0.1, cfg.schedulerC_milestones, cfg.schedulerC_lambda)
+            if spec.g_lr_from_c
+            else (cfg.lr_G, cfg.schedulerG_milestones, cfg.schedulerG_lambda)
+        )
+        txG = sgd_torch(
+            multistep_lr_resume(
+                g_lr, g_ms, g_gamma, spe,
+                epochs_done=epochs_done, resume_step=int(payload["schedulerG"]["step"]),
+            )
+        )
+        stateC = stateC.replace(tx=txC)
+        stateG = stateG.replace(tx=txG)
         stateC = stateC.replace(
             params=payload["netC"]["params"], batch_stats=payload["netC"]["batch_stats"],
             opt_state=payload["optimizerC"], step=jnp.asarray(payload["schedulerC"]["step"]),

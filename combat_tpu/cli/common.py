@@ -47,6 +47,11 @@ def device_dataset(cfg: Config, mesh, train: bool) -> Tuple[jnp.ndarray, jnp.nda
     (train/loop.py ``gather_batch``), which XLA fuses into the step."""
     ds = get_dataset(cfg, train)
     if ds.images.nbytes > _U8_RESIDENCY_BYTES:
+        print(
+            f"[combat-tpu] {'train' if train else 'test'} split "
+            f"({ds.images.nbytes / 2**30:.2f} GB float32) stored on-device as uint8 "
+            "(lossless for uint8-sourced corpora; <=1/255 quantization otherwise)"
+        )
         u8 = np.clip(np.round((ds.images.astype(np.float32) + 1.0) * 127.5), 0, 255)
         images = replicate(mesh, jnp.asarray(u8.astype(np.uint8)))
     else:

@@ -32,6 +32,7 @@ from ..train import (
     make_clean_train_step,
     metrics_to_host,
     multistep_lr,
+    multistep_lr_resume,
     padded_eval_batches,
     sgd_torch,
     train_epoch_classifier,
@@ -78,14 +79,22 @@ def run(cfg: Config) -> float:
         if saved_spe != spe:
             print(
                 f"WARNING: checkpoint was trained at {saved_spe} steps/epoch but the "
-                f"current dataset gives {spe}; rebuilding the LR schedule on the saved value"
+                f"current dataset gives {spe}; re-anchoring the remaining LR milestones "
+                "on the new cadence (epoch-indexed MultiStepLR semantics)"
             )
-            stateC = stateC.replace(
-                tx=sgd_torch(multistep_lr(cfg.lr_C, cfg.schedulerC_milestones, cfg.schedulerC_lambda, saved_spe))
+        # Rebuild the schedule anchored at the resume point: torch MultiStepLR
+        # is epoch-indexed, so remaining milestones must fire at the right
+        # EPOCH even if steps/epoch changed (multistep_lr_resume docstring);
+        # with an unchanged cadence this is identical to the fresh schedule.
+        stateC = stateC.replace(
+            tx=sgd_torch(
+                multistep_lr_resume(
+                    cfg.lr_C, cfg.schedulerC_milestones, cfg.schedulerC_lambda, spe,
+                    epochs_done=int(payload["epoch_current"]) + 1,
+                    resume_step=int(payload["schedulerC"]["step"]),
+                )
             )
-            # persist the spe the active schedule is actually bound to so a
-            # second resume rebuilds on the same milestone boundaries
-            spe = saved_spe
+        )
         stateC = stateC.replace(
             params=payload["netC"]["params"],
             batch_stats=payload["netC"]["batch_stats"],

@@ -9,7 +9,7 @@ from .loop import (
     train_epoch_classifier,
 )
 from .mesh import batch_sharding, channel_sharding, make_mesh, make_mesh_2d, replicate, replicated, shard_batch
-from .schedules import multistep_lr, sgd_torch
+from .schedules import multistep_lr, multistep_lr_resume, sgd_torch
 from .state import FrozenModel, TrainState, init_frozen, init_train_state
 from .steps import (
     cross_entropy,

@@ -22,6 +22,37 @@ def multistep_lr(base_lr: float, milestones_epochs: Sequence[int], gamma: float,
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
+def multistep_lr_resume(
+    base_lr: float,
+    milestones_epochs: Sequence[int],
+    gamma: float,
+    steps_per_epoch: int,
+    epochs_done: int,
+    resume_step: int,
+):
+    """Epoch-indexed MultiStepLR parity across a ``--continue_training`` resume.
+
+    torch's MultiStepLR counts EPOCHS: decay fires when the epoch counter
+    passes a milestone, independent of steps/epoch (the reference reloads the
+    scheduler state dict on resume, so its epoch counter just continues —
+    ``train_generator.py:529-552``).  The optax schedule is step-indexed, so
+    a resume whose step cadence changed (``--debug`` resume of a full-data
+    run, a different ``--bs``) must re-anchor the remaining milestones on the
+    NEW cadence: milestone ``m > epochs_done`` fires at
+    ``resume_step + (m - epochs_done) * steps_per_epoch``, and milestones
+    already passed fold into a single boundary at step 0 (active for every
+    resumed step).  With an unchanged cadence (``resume_step ==
+    epochs_done * steps_per_epoch``) this reproduces ``multistep_lr``
+    exactly for all post-resume steps.
+    """
+    past = sum(1 for m in milestones_epochs if int(m) <= epochs_done)
+    boundaries = {0: float(gamma) ** past} if past else {}
+    for m in milestones_epochs:
+        if int(m) > epochs_done:
+            boundaries[int(resume_step) + (int(m) - epochs_done) * steps_per_epoch] = gamma
+    return optax.piecewise_constant_schedule(base_lr, boundaries)
+
+
 def sgd_torch(
     lr_schedule,
     momentum: float = 0.9,

@@ -76,6 +76,17 @@ def grad_l2_metric(x: jnp.ndarray, x_bd: jnp.ndarray) -> jnp.ndarray:
     return dh + dw
 
 
+def full_metrics_mode(cfg: Config) -> bool:
+    """True for per-batch train metrics (reference parity), False for the
+    loss_only production mode — and a hard error for anything else, so a
+    typo'd ``--train_metrics`` can't silently zero the logged accuracies."""
+    if cfg.train_metrics not in ("full", "loss_only"):
+        raise ValueError(
+            f"train_metrics must be 'full' or 'loss_only', got {cfg.train_metrics!r}"
+        )
+    return cfg.train_metrics == "full"
+
+
 def _apply_eval(model_apply, variables, x, dropout_key=None):
     """Eval-mode forward; supplies a dropout rng for the detector variants
     that keep dropout live in eval (frequency_based/model.py:55-84)."""
@@ -91,7 +102,7 @@ def _apply_eval(model_apply, variables, x, dropout_key=None):
 def make_alternated_train_step(cfg: Config, C, G):
     aug = _aug_fn(cfg)
     trig = _trigger_fn(cfg)
-    full_metrics = cfg.train_metrics == "full"
+    full_metrics = full_metrics_mode(cfg)
 
     def step(
         stateC: TrainState,

@@ -38,7 +38,7 @@ from ..config import Config
 from ..ops.dct import detector_features
 from ..ops.image import resize2d, total_variation
 from .state import FrozenModel, TrainState
-from .steps import _apply_eval, _aug_fn, _trigger_fn, cross_entropy, grad_l2_metric
+from .steps import _apply_eval, _aug_fn, _trigger_fn, cross_entropy, full_metrics_mode, grad_l2_metric
 
 
 def _flow_upsample(flow: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
@@ -75,7 +75,7 @@ def _wanet_grad_l2(flow_up: jnp.ndarray) -> jnp.ndarray:
 
 def make_wanet_train_step(cfg: Config, C, G):
     aug = _aug_fn(cfg)
-    full_metrics = cfg.train_metrics == "full"  # see config.train_metrics
+    full_metrics = full_metrics_mode(cfg)  # validates the flag; see config.train_metrics
 
     def step(stateC, stateG, clean_model, netF, batch, key):
         x, y = batch
@@ -180,7 +180,7 @@ def make_wanet_eval_step(cfg: Config, C, G):
 def make_inputaware_train_step(cfg: Config, C, G):
     aug = _aug_fn(cfg)
     trig = _trigger_fn(cfg)
-    full_metrics = cfg.train_metrics == "full"  # see config.train_metrics
+    full_metrics = full_metrics_mode(cfg)  # validates the flag; see config.train_metrics
 
     def step(stateC, stateG, clean_model, netF, batch, key):
         x, y, x2 = batch
@@ -300,7 +300,7 @@ def make_inputaware_eval_step(cfg: Config, C, G):
 def make_imperceptible_train_step(cfg: Config, C, G):
     aug = _aug_fn(cfg)
     trig = _trigger_fn(cfg)
-    full_metrics = cfg.train_metrics == "full"  # see config.train_metrics
+    full_metrics = full_metrics_mode(cfg)  # validates the flag; see config.train_metrics
 
     def step(stateC, stateG, clean_model, netF, batch, key):
         x, y = batch
@@ -376,7 +376,7 @@ def make_imperceptible_train_step(cfg: Config, C, G):
 def make_multilabel_train_step(cfg: Config, C, G):
     aug = _aug_fn(cfg)
     trig = _trigger_fn(cfg)
-    full_metrics = cfg.train_metrics == "full"  # see config.train_metrics
+    full_metrics = full_metrics_mode(cfg)  # validates the flag; see config.train_metrics
 
     def step(stateC, stateG, clean_model, netF, batch, key):
         x, y = batch

@@ -83,15 +83,17 @@ def test_alternated_step_updates_both_and_isolates_grads():
     step = jax.jit(make_alternated_train_step(cfg, C, G))
     x = jax.random.uniform(jax.random.key(5), (8, 32, 32, 3), minval=-1, maxval=1)
     y = jax.random.randint(jax.random.key(6), (8,), 0, 10)
+    cm_before = [np.array(a) for a in jax.tree.leaves(cm.params)]  # host copies
     sC2, sG2, m = step(sC, sG, cm, nf, (x, y), jax.random.key(7))
     # both nets stepped once
     assert int(sC2.step) == 1 and int(sG2.step) == 1
     # params actually changed
     assert not np.allclose(np.asarray(jax.tree.leaves(sC.params)[0]), np.asarray(jax.tree.leaves(sC2.params)[0]))
     assert not np.allclose(np.asarray(jax.tree.leaves(sG.params)[0]), np.asarray(jax.tree.leaves(sG2.params)[0]))
-    # frozen nets untouched (pytree identity of values)
-    for a, b in zip(jax.tree.leaves(cm.params), jax.tree.leaves(cm.params)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # frozen nets untouched: compare the live buffers against host copies
+    # taken BEFORE the step (catches in-place corruption via buffer donation)
+    for a, b in zip(cm_before, jax.tree.leaves(cm.params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
     # BN stats updated by the C-step only (G-step runs C in eval mode)
     assert not np.allclose(
         np.asarray(jax.tree.leaves(sC.batch_stats)[0]), np.asarray(jax.tree.leaves(sC2.batch_stats)[0])
