@@ -29,6 +29,11 @@ VICTIM = os.environ.get("VICTIM_PREFIX", "r11_victim")
 CLEAN = os.environ.get("CLEAN_PREFIX", "r11_clean_cls")
 NC_EPOCHS = os.environ.get("NC_EPOCHS", "50")
 OUT = os.environ.get("OUT", "./quality_logs/defenses")
+# Defense CLIs are dataset-generic (STRIP/NC/fine-pruning run at any
+# geometry; the models expose channel_mask/capture_features at both the
+# PreActResNet cifar path and the ResNet celeba path) EXCEPT Grad-CAM,
+# which is cifar10-only in the reference too (gradcam.py:276-281).
+DATASET = os.environ.get("DATASET", "cifar10")
 
 
 def tee(name, fn, argv):
@@ -50,8 +55,8 @@ def tee(name, fn, argv):
 
 def main():
     # benign copy under the <prefix>_clean scheme the defense CLIs resolve
-    src = os.path.join("./checkpoints", CLEAN, "cifar10")
-    dst = os.path.join("./checkpoints", "benign_clean", "cifar10")
+    src = os.path.join("./checkpoints", CLEAN, DATASET)
+    dst = os.path.join("./checkpoints", "benign_clean", DATASET)
     # always refresh: a stale copy from an earlier run with a different
     # CLEAN_PREFIX would silently miscalibrate the benign baselines
     if os.path.isdir(dst):
@@ -59,13 +64,13 @@ def main():
     os.makedirs(os.path.dirname(dst), exist_ok=True)
     shutil.copytree(src, dst)
     shutil.move(
-        os.path.join(dst, f"cifar10_{CLEAN}.ckpt"),
-        os.path.join(dst, "cifar10_benign_clean.ckpt"),
+        os.path.join(dst, f"{DATASET}_{CLEAN}.ckpt"),
+        os.path.join(dst, f"{DATASET}_benign_clean.ckpt"),
     )
 
     from combat_tpu.defenses import combine_images, fine_pruning, neural_cleanse, strip
 
-    common = ["--dataset", "cifar10", "--synthetic_data", "--bs", "128", "--seed", "1"]
+    common = ["--dataset", DATASET, "--synthetic_data", "--bs", "128", "--seed", "1"]
     nc = ["--nc_epochs", NC_EPOCHS]
     tee(f"neural_cleanse_{VICTIM}.txt", neural_cleanse.main,
         common + nc + ["--saving_prefix", VICTIM])
@@ -78,11 +83,12 @@ def main():
         strip_common + ["--saving_prefix", "benign", "--strip_mode", "clean"])
     tee(f"fine_pruning_{VICTIM}.txt", fine_pruning.main,
         common + ["--saving_prefix", VICTIM])
-    from combat_tpu.defenses import gradcam
+    if DATASET == "cifar10":  # Grad-CAM is cifar10-only in the reference too
+        from combat_tpu.defenses import gradcam
 
-    tee(f"gradcam_{VICTIM}.txt", gradcam.main,
-        common + ["--saving_prefix", VICTIM, "--load_checkpoint_clean", CLEAN])
-    combine_images.main(["--saving_prefix", VICTIM, "--dataset", "cifar10"])
+        tee(f"gradcam_{VICTIM}.txt", gradcam.main,
+            common + ["--saving_prefix", VICTIM, "--load_checkpoint_clean", CLEAN])
+    combine_images.main(["--saving_prefix", VICTIM, "--dataset", DATASET])
     print("defense evidence complete")
 
 
