@@ -129,6 +129,12 @@ class Config:
     train_metrics: str = "full"  # full | loss_only
     pallas_lowfreq: bool = False  # fused VMEM low-pass kernel (TPU only)
     pallas_trigger: bool = False  # whole trigger chain (low-pass+clamp+blur) as one Pallas kernel
+    # "step": jax.checkpoint around each loss forward — the backward
+    # recomputes activations instead of reading them back from HBM, trading
+    # idle MXU FLOPs (step is bandwidth-bound, PERF.md roofline) for
+    # traffic.  Exact: recompute reuses the same PRNG subkeys, so losses,
+    # gradients, and the trajectory are unchanged (tests/test_attack_train).
+    remat: str = "none"  # none | step
     profile_dir: str = ""  # non-empty: jax.profiler trace of one post-compile epoch
     # jit-compatible NaN tripwire (the reference runs
     # torch.autograd.set_detect_anomaly(True) + NaN prints in every train(),

@@ -99,10 +99,25 @@ def _apply_eval(model_apply, variables, x, dropout_key=None):
 # --------------------------------------------------------------------------
 
 
+def _remat_wrapper(cfg: Config):
+    """Identity, or ``jax.checkpoint`` for ``--remat step``: the backward
+    then recomputes each loss forward instead of reading stored activations
+    back from HBM — a bandwidth↔FLOPs trade on a step that is
+    HBM-bandwidth-bound with the MXU half idle (PERF.md roofline).  Exact:
+    the recompute closes over the same PRNG subkeys, so losses, gradients,
+    and the training trajectory are unchanged."""
+    if cfg.remat == "step":
+        return jax.checkpoint
+    if cfg.remat == "none":
+        return lambda f: f
+    raise ValueError(f"remat must be 'none' or 'step', got {cfg.remat!r}")
+
+
 def make_alternated_train_step(cfg: Config, C, G):
     aug = _aug_fn(cfg)
     trig = _trigger_fn(cfg)
     full_metrics = full_metrics_mode(cfg)
+    remat = _remat_wrapper(cfg)
 
     def step(
         stateC: TrainState,
@@ -127,7 +142,7 @@ def make_alternated_train_step(cfg: Config, C, G):
         # UNet forward per step (~10% of step FLOPs) with bit-identical
         # semantics (G is updated only after both uses, so both see the
         # same params; the trigger PRNG draws are unchanged).
-        noise, g_vjp = jax.vjp(lambda p: G.apply({"params": p}, x), stateG.params)
+        noise, g_vjp = jax.vjp(remat(lambda p: G.apply({"params": p}, x)), stateG.params)
 
         # ---- C-step (netG eval/frozen, netC train) ----
         x_bd_c = trig(k[0], x, noise)
@@ -143,7 +158,7 @@ def make_alternated_train_step(cfg: Config, C, G):
             # poisoned rows keep their (clean == target-class) labels
             return cross_entropy(logits, y), mut["batch_stats"]
 
-        (loss_ce_c, new_bs), gradsC = jax.value_and_grad(loss_C, has_aux=True)(stateC.params)
+        (loss_ce_c, new_bs), gradsC = jax.value_and_grad(remat(loss_C), has_aux=True)(stateC.params)
         stateC = stateC.apply_gradients(gradsC, batch_stats=new_bs)
 
         # clean-model forward on augmented clean inputs (metrics only, :214);
@@ -168,7 +183,7 @@ def make_alternated_train_step(cfg: Config, C, G):
             total = l_ce + cfg.L2_weight * l_l2 + cfg.clean_model_weight * l_cm
             return total, (x_bd, pred_bd, cm_bd, l_ce, l_l2, l_cm)
 
-        (_, auxG), grad_noise = jax.value_and_grad(loss_G, has_aux=True)(noise)
+        (_, auxG), grad_noise = jax.value_and_grad(remat(loss_G), has_aux=True)(noise)
         (gradsG,) = g_vjp(grad_noise)
         stateG = stateG.apply_gradients(gradsG)
         x_bd, pred_bd, cm_bd, l_ce, l_l2, l_cm = auxG
@@ -246,6 +261,7 @@ def make_attack_eval_step(cfg: Config, C, G):
 
 def make_clean_train_step(cfg: Config, C):
     aug = _aug_fn(cfg)
+    remat = _remat_wrapper(cfg)
 
     def step(stateC: TrainState, batch, key):
         x, y = batch
@@ -257,7 +273,7 @@ def make_clean_train_step(cfg: Config, C):
             )
             return cross_entropy(logits, y), (mut["batch_stats"], logits)
 
-        (loss, (new_bs, logits)), grads = jax.value_and_grad(loss_fn, has_aux=True)(stateC.params)
+        (loss, (new_bs, logits)), grads = jax.value_and_grad(remat(loss_fn), has_aux=True)(stateC.params)
         stateC = stateC.apply_gradients(grads, batch_stats=new_bs)
         metrics = {
             "sample": jnp.asarray(x.shape[0], jnp.float32),
@@ -290,6 +306,7 @@ def make_clean_eval_step(C):
 def make_victim_train_step(cfg: Config, C, G):
     aug = _aug_fn(cfg)
     trig = _trigger_fn(cfg)
+    remat = _remat_wrapper(cfg)
 
     def step(stateC: TrainState, paramsG: Any, batch, key):
         x, y, poisoned = batch
@@ -307,7 +324,7 @@ def make_victim_train_step(cfg: Config, C, G):
             )
             return cross_entropy(logits, labels), (mut["batch_stats"], logits)
 
-        (loss, (new_bs, logits)), grads = jax.value_and_grad(loss_fn, has_aux=True)(stateC.params)
+        (loss, (new_bs, logits)), grads = jax.value_and_grad(remat(loss_fn), has_aux=True)(stateC.params)
         stateC = stateC.apply_gradients(grads, batch_stats=new_bs)
         metrics = {
             "sample": jnp.asarray(x.shape[0], jnp.float32),

@@ -76,6 +76,11 @@ def main():
         # production mode: metric-only forwards skipped, trajectory-identical
         # (tests/test_attack_train.py::test_loss_only_metrics_mode_is_trajectory_identical)
         "loss_only metrics": base.replace(train_metrics="loss_only"),
+        # backward recomputes loss forwards instead of reading stored
+        # activations — bandwidth<->FLOPs trade on the HBM-bound step
+        # (tests/test_attack_train.py::test_remat_step_is_trajectory_identical)
+        "remat step": base.replace(remat="step"),
+        "remat + loss_only": base.replace(remat="step", train_metrics="loss_only"),
     }
     for label, cfg in variants.items():
         time_step(make_alternated_train_step(cfg, C, G), args(cfg), label)

@@ -192,6 +192,58 @@ def test_loss_only_metrics_mode_is_trajectory_identical():
         assert float(qm[k]) == 0.0 and float(qm2[k]) == 0.0
 
 
+def test_remat_step_is_trajectory_identical():
+    """``--remat step`` wraps each loss forward in ``jax.checkpoint`` so the
+    backward recomputes activations instead of storing them (a bandwidth↔
+    FLOPs trade on the HBM-bound step, PERF.md roofline).  Rematerialization
+    replays the same ops on the same PRNG subkeys, so params, batch stats,
+    and every metric must match the un-rematted step to fp tolerance."""
+    cfg_none = make_cfg(bs=8, pc=0.5)
+    cfg_remat = cfg_none.replace(remat="step")
+    C, G, sC, sG, cm, nf = _setup_states(cfg_none)
+    x = jax.random.uniform(jax.random.key(5), (8, 32, 32, 3), minval=-1, maxval=1)
+    y = jax.random.randint(jax.random.key(6), (8,), 0, 10)
+
+    def run(cfg):
+        step = jax.jit(make_alternated_train_step(cfg, C, G))
+        a, b, m = step(sC, sG, cm, nf, (x, y), jax.random.key(7))
+        a, b, m2 = step(a, b, cm, nf, (x, y), jax.random.key(8))
+        return a, b, m, m2
+
+    nC, nG, nm, nm2 = run(cfg_none)
+    rC, rG, rm, rm2 = run(cfg_remat)
+    for a, b in zip(
+        jax.tree.leaves((nC.params, nG.params, nC.batch_stats)),
+        jax.tree.leaves((rC.params, rG.params, rC.batch_stats)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    for k in nm:
+        np.testing.assert_allclose(np.asarray(nm[k]), np.asarray(rm[k]), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(nm2[k]), np.asarray(rm2[k]), rtol=1e-5, atol=1e-6)
+
+
+def test_remat_victim_and_clean_steps_match():
+    """Same exactness contract for the clean-classifier and victim steps."""
+    from combat_tpu.train.steps import make_clean_train_step, make_victim_train_step
+
+    cfg_none = make_cfg(bs=8, pc=0.5)
+    cfg_remat = cfg_none.replace(remat="step")
+    C, G, sC, sG, cm, nf = _setup_states(cfg_none)
+    x = jax.random.uniform(jax.random.key(5), (8, 32, 32, 3), minval=-1, maxval=1)
+    y = jax.random.randint(jax.random.key(6), (8,), 0, 10)
+    poisoned = jax.random.bernoulli(jax.random.key(9), 0.3, (8,))
+
+    outs = []
+    for cfg in (cfg_none, cfg_remat):
+        c_step = jax.jit(make_clean_train_step(cfg, C))
+        v_step = jax.jit(make_victim_train_step(cfg, C, G))
+        a, mc = c_step(sC, (x, y), jax.random.key(7))
+        b, mv = v_step(sC, sG.params, (x, y, poisoned), jax.random.key(8))
+        outs.append((a.params, mc, b.params, mv))
+    for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
 def test_alternated_epoch_loss_decreases():
     cfg = make_cfg(bs=8, pc=0.5)
     C, G, sC, sG, cm, nf = _setup_states(cfg)
