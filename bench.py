@@ -223,12 +223,33 @@ def main() -> None:
         ]
         out["ref_loop_flops_per_img"] = round(ref_fpi / 1e9, 2)
         if measured and "anomaly_mode_slowdown" in measured:
-            # further conservatism context: the bracket's GPU estimate is for
-            # an idealized reference loop WITHOUT the set_detect_anomaly(True)
-            # overhead the as-shipped reference always pays (measured same-
-            # host factor below; the factor is larger on fast hardware where
-            # per-op host work is a bigger fraction of step time)
-            out["ref_anomaly_mode_slowdown_measured_cpu"] = measured["anomaly_mode_slowdown"]
+            # vs_est_gpu_range models an IDEALIZED reference loop.  The
+            # as-shipped reference additionally pays always-on
+            # torch.autograd.set_detect_anomaly(True) in every entry point
+            # (train_generator.py:145, train_victim.py:94, ...); its measured
+            # same-host slowdown factor is applied below.  The CPU-measured
+            # factor is conservative for a GPU: anomaly mode's per-op host
+            # bookkeeping is a LARGER fraction of step time on fast hardware.
+            slow = measured["anomaly_mode_slowdown"]
+            out["ref_anomaly_mode_slowdown_measured_cpu"] = slow
+            out["vs_asshipped_gpu_range"] = [
+                round(v * slow, 2) for v in out["vs_est_gpu_range"]
+            ]
+            # production mode (--train_metrics loss_only): trajectory-
+            # identical training (tests/test_attack_train.py), compared
+            # against the same as-shipped reference loop
+            out["loss_only_vs_asshipped_gpu_range"] = [
+                round(loss_only_img_s_chip / (GPU_EST_HI_FLOPS / ref_fpi) * slow, 2),
+                round(loss_only_img_s_chip / (GPU_EST_LO_FLOPS / ref_fpi) * slow, 2),
+            ]
+        # BASELINE.md's stated target hardware is TPU v4 (275 TFLOP/s bf16);
+        # this container exposes a v5e.  Equal-MFU projection onto the
+        # stated target, labeled as such:
+        peak_here, peak_v4 = PEAK_BF16.get(device_kind), PEAK_BF16["TPU v4"]
+        if peak_here and device_kind != "TPU v4":
+            out["projected_img_s_chip_tpu_v4_equal_mfu"] = round(
+                img_s_chip * peak_v4 / peak_here, 1
+            )
     print(json.dumps(out))
 
 
