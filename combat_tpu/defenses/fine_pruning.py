@@ -63,18 +63,18 @@ def pruning_sweep(
     xb = images[: steps * bs].reshape(steps, bs, *images.shape[1:])
     yb = labels[: steps * bs].reshape(steps, bs)
 
-    def eval_with_mask(mask):
+    def eval_with_mask(mask, vC, pG, xb, yb):
         def body(carry, batch):
             x, y, i = batch
             bd_targets = create_targets_bd(y, cfg.attack_mode, cfg.target_label, cfg.num_classes)
-            preds_clean = C.apply(varsC, x, train=False, channel_mask=mask)
-            noise = G.apply({"params": paramsG}, x)
+            preds_clean = C.apply(vC, x, train=False, channel_mask=mask)
+            noise = G.apply({"params": pG}, x)
             x_bd = additive_trigger(
                 jax.random.fold_in(key, i), x, noise,
                 image_size=cfg.input_height, ratio=cfg.ratio, noise_rate=cfg.noise_rate,
                 kernel_size=cfg.kernel_size, sigma=cfg.sigma,
             )
-            preds_bd = C.apply(varsC, x_bd, train=False, channel_mask=mask)
+            preds_bd = C.apply(vC, x_bd, train=False, channel_mask=mask)
             cc = jnp.sum(jnp.argmax(preds_clean, -1) == y)
             bc = jnp.sum(jnp.argmax(preds_bd, -1) == bd_targets)
             return carry + jnp.array([cc, bc], jnp.float32), None
@@ -87,12 +87,21 @@ def pruning_sweep(
     # fixed chunk size so every dispatch shares ONE compiled executable
     # (padding repeats the last mask; the extra rows are sliced off).  For
     # the PreActResNet layer4 width this is 9 equal 57-mask chunks.
+    # The dataset/params/masks are jit ARGUMENTS, not closures: a closed-over
+    # array is baked into the program as a constant, and at 64px+ the
+    # embedded test split blows the remote-compile upload limit (observed:
+    # HTTP 413 on the celeba sweep; quality_logs/r3d_queue.log).
     n_masks = masks.shape[0]  # n_ch + 1
     chunk = min(57, n_masks)
     pad = (-n_masks) % chunk
     padded = jnp.concatenate([masks, jnp.repeat(masks[-1:], pad, axis=0)], axis=0) if pad else masks
-    eval_chunk = jax.jit(lambda ms: jax.lax.map(eval_with_mask, ms))
-    outs = [eval_chunk(padded[i : i + chunk]) for i in range(0, padded.shape[0], chunk)]
+    eval_chunk = jax.jit(
+        lambda ms, vC, pG, xb, yb: jax.lax.map(lambda m: eval_with_mask(m, vC, pG, xb, yb), ms)
+    )
+    outs = [
+        eval_chunk(padded[i : i + chunk], varsC, paramsG, xb, yb)
+        for i in range(0, padded.shape[0], chunk)
+    ]
     return jnp.concatenate(outs, axis=0)[:n_masks]
 
 
