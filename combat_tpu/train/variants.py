@@ -38,7 +38,15 @@ from ..config import Config
 from ..ops.dct import detector_features
 from ..ops.image import resize2d, total_variation
 from .state import FrozenModel, TrainState
-from .steps import _apply_eval, _aug_fn, _trigger_fn, cross_entropy, full_metrics_mode, grad_l2_metric
+from .steps import (
+    _apply_eval,
+    _aug_fn,
+    _remat_wrapper,
+    _trigger_fn,
+    cross_entropy,
+    full_metrics_mode,
+    grad_l2_metric,
+)
 
 
 def _flow_upsample(flow: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
@@ -77,6 +85,7 @@ def make_wanet_train_step(cfg: Config, C, G):
     aug = _aug_fn(cfg)
     full_metrics = full_metrics_mode(cfg)  # validates the flag; see config.train_metrics
 
+    remat = _remat_wrapper(cfg)
     def step(stateC, stateG, clean_model, netF, batch, key):
         x, y = batch
         bs = x.shape[0]
@@ -85,7 +94,7 @@ def make_wanet_train_step(cfg: Config, C, G):
 
         # One G forward serves both the C-step (constant there) and the
         # G-step pullback — see the vjp note in steps.py.
-        flow, g_vjp = jax.vjp(lambda p: G.apply({"params": p}, x), stateG.params)
+        flow, g_vjp = jax.vjp(remat(lambda p: G.apply({"params": p}, x)), stateG.params)
 
         # C-step
         x_bd_c, _ = wanet_apply(x, flow, cfg.grid_rescale)
@@ -98,7 +107,7 @@ def make_wanet_train_step(cfg: Config, C, G):
             )
             return cross_entropy(logits, y), mut["batch_stats"]
 
-        (_, new_bs), gradsC = jax.value_and_grad(loss_C, has_aux=True)(stateC.params)
+        (_, new_bs), gradsC = jax.value_and_grad(remat(loss_C), has_aux=True)(stateC.params)
         stateC = stateC.apply_gradients(gradsC, batch_stats=new_bs)
 
         zero = jnp.zeros((), jnp.float32)
@@ -116,7 +125,7 @@ def make_wanet_train_step(cfg: Config, C, G):
             total = l_ce + cfg.L2_weight * l_l2 + cfg.clean_model_weight * l_cm
             return total, (x_bd, flow_up, pred_bd, cm_bd, l_ce, l_l2, l_cm)
 
-        (_, auxG), grad_flow = jax.value_and_grad(loss_G, has_aux=True)(flow)
+        (_, auxG), grad_flow = jax.value_and_grad(remat(loss_G), has_aux=True)(flow)
         (gradsG,) = g_vjp(grad_flow)
         stateG = stateG.apply_gradients(gradsG)
         x_bd, flow_up, pred_bd, cm_bd, l_ce, l_l2, l_cm = auxG
@@ -182,6 +191,7 @@ def make_inputaware_train_step(cfg: Config, C, G):
     trig = _trigger_fn(cfg)
     full_metrics = full_metrics_mode(cfg)  # validates the flag; see config.train_metrics
 
+    remat = _remat_wrapper(cfg)
     def step(stateC, stateG, clean_model, netF, batch, key):
         x, y, x2 = batch
         bs = x.shape[0]
@@ -191,8 +201,8 @@ def make_inputaware_train_step(cfg: Config, C, G):
         # C-step (identical to base); the G(x) forward is shared with the
         # G-step pullback (vjp note in steps.py) — G(x2) is a different
         # input and keeps its own forward below.
-        noise, g_vjp = jax.vjp(lambda p: G.apply({"params": p}, x), stateG.params)
-        noise2, g2_vjp = jax.vjp(lambda p: G.apply({"params": p}, x2), stateG.params)
+        noise, g_vjp = jax.vjp(remat(lambda p: G.apply({"params": p}, x)), stateG.params)
+        noise2, g2_vjp = jax.vjp(remat(lambda p: G.apply({"params": p}, x2)), stateG.params)
         x_bd_c = trig(k[0], x, noise)
         poison = (y == bd_targets) & jax.random.bernoulli(k[1], cfg.pc, y.shape)
         x_mix = aug(k[2], jnp.where(poison[:, None, None, None], x_bd_c, x))
@@ -203,7 +213,7 @@ def make_inputaware_train_step(cfg: Config, C, G):
             )
             return cross_entropy(logits, y), mut["batch_stats"]
 
-        (_, new_bs), gradsC = jax.value_and_grad(loss_C, has_aux=True)(stateC.params)
+        (_, new_bs), gradsC = jax.value_and_grad(remat(loss_C), has_aux=True)(stateC.params)
         stateC = stateC.apply_gradients(gradsC, batch_stats=new_bs)
         zero = jnp.zeros((), jnp.float32)
         if full_metrics:
@@ -224,7 +234,7 @@ def make_inputaware_train_step(cfg: Config, C, G):
             total = l_ce + cfg.cross_weight * l_cross + cfg.L2_weight * l_l2 + cfg.clean_model_weight * l_cm
             return total, (x_bd, pred_bd, pred_cross, cm_bd, l_ce, l_cross, l_l2, l_cm)
 
-        (_, auxG), (gn, gn2) = jax.value_and_grad(loss_G, argnums=(0, 1), has_aux=True)(noise, noise2)
+        (_, auxG), (gn, gn2) = jax.value_and_grad(remat(loss_G), argnums=(0, 1), has_aux=True)(noise, noise2)
         (gradsG,) = g_vjp(gn)
         (gradsG2,) = g2_vjp(gn2)
         gradsG = jax.tree.map(jnp.add, gradsG, gradsG2)
@@ -302,6 +312,7 @@ def make_imperceptible_train_step(cfg: Config, C, G):
     trig = _trigger_fn(cfg)
     full_metrics = full_metrics_mode(cfg)  # validates the flag; see config.train_metrics
 
+    remat = _remat_wrapper(cfg)
     def step(stateC, stateG, clean_model, netF, batch, key):
         x, y = batch
         bs = x.shape[0]
@@ -309,7 +320,7 @@ def make_imperceptible_train_step(cfg: Config, C, G):
         k = jax.random.split(key, 10)
 
         # single shared G forward (vjp note in steps.py)
-        noise, g_vjp = jax.vjp(lambda p: G.apply({"params": p}, x), stateG.params)
+        noise, g_vjp = jax.vjp(remat(lambda p: G.apply({"params": p}, x)), stateG.params)
         x_bd_c = trig(k[0], x, noise)
         poison = (y == bd_targets) & jax.random.bernoulli(k[1], cfg.pc, y.shape)
         x_mix = aug(k[2], jnp.where(poison[:, None, None, None], x_bd_c, x))
@@ -320,7 +331,7 @@ def make_imperceptible_train_step(cfg: Config, C, G):
             )
             return cross_entropy(logits, y), mut["batch_stats"]
 
-        (_, new_bs), gradsC = jax.value_and_grad(loss_C, has_aux=True)(stateC.params)
+        (_, new_bs), gradsC = jax.value_and_grad(remat(loss_C), has_aux=True)(stateC.params)
         stateC = stateC.apply_gradients(gradsC, batch_stats=new_bs)
         zero = jnp.zeros((), jnp.float32)
         if full_metrics:
@@ -338,7 +349,7 @@ def make_imperceptible_train_step(cfg: Config, C, G):
             total = l_ce + cfg.L2_weight * l_l2 + cfg.tv_weight * l_tv + cfg.clean_model_weight * l_cm
             return total, (x_bd, pred_bd, cm_bd, l_ce, l_l2, l_tv, l_cm)
 
-        (_, auxG), grad_noise = jax.value_and_grad(loss_G, has_aux=True)(noise)
+        (_, auxG), grad_noise = jax.value_and_grad(remat(loss_G), has_aux=True)(noise)
         (gradsG,) = g_vjp(grad_noise)
         stateG = stateG.apply_gradients(gradsG)
         x_bd, pred_bd, cm_bd, l_ce, l_l2, l_tv, l_cm = auxG
@@ -378,6 +389,7 @@ def make_multilabel_train_step(cfg: Config, C, G):
     trig = _trigger_fn(cfg)
     full_metrics = full_metrics_mode(cfg)  # validates the flag; see config.train_metrics
 
+    remat = _remat_wrapper(cfg)
     def step(stateC, stateG, clean_model, netF, batch, key):
         x, y = batch
         bs = x.shape[0]
@@ -396,7 +408,7 @@ def make_multilabel_train_step(cfg: Config, C, G):
             )
             return cross_entropy(logits, y), mut["batch_stats"]
 
-        (_, new_bs), gradsC = jax.value_and_grad(loss_C, has_aux=True)(stateC.params)
+        (_, new_bs), gradsC = jax.value_and_grad(remat(loss_C), has_aux=True)(stateC.params)
         stateC = stateC.apply_gradients(gradsC, batch_stats=new_bs)
         zero = jnp.zeros((), jnp.float32)
         if full_metrics:
@@ -419,7 +431,7 @@ def make_multilabel_train_step(cfg: Config, C, G):
             total = l_ce + cfg.L2_weight * l_l2 + cfg.clean_model_weight * l_cm
             return total, (x_bd, pred_bd, cm_bd, l_ce, l_l2, l_cm)
 
-        (_, auxG), gradsG = jax.value_and_grad(loss_G, has_aux=True)(stateG.params)
+        (_, auxG), gradsG = jax.value_and_grad(remat(loss_G), has_aux=True)(stateG.params)
         stateG = stateG.apply_gradients(gradsG)
         x_bd, pred_bd, cm_bd, l_ce, l_l2, l_cm = auxG
 
@@ -456,6 +468,7 @@ def make_wanet_victim_train_step(cfg: Config, C, G):
     (reference ``train_victim_wanet.py:58-135``, warp at ``:88-94``)."""
     aug = _aug_fn(cfg)
 
+    remat = _remat_wrapper(cfg)
     def step(stateC: TrainState, paramsG, batch, key):
         x, y, poisoned = batch
         k = jax.random.split(key, 2)
@@ -471,7 +484,7 @@ def make_wanet_victim_train_step(cfg: Config, C, G):
             )
             return cross_entropy(logits, labels), (mut["batch_stats"], logits)
 
-        (loss, (new_bs, logits)), grads = jax.value_and_grad(loss_fn, has_aux=True)(stateC.params)
+        (loss, (new_bs, logits)), grads = jax.value_and_grad(remat(loss_fn), has_aux=True)(stateC.params)
         stateC = stateC.apply_gradients(grads, batch_stats=new_bs)
         return stateC, {
             "sample": jnp.asarray(x.shape[0], jnp.float32),

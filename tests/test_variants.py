@@ -184,3 +184,28 @@ def test_wanet_victim_step():
     poisoned = jnp.array([True] * 4 + [False] * 4)
     sC2, m = step(sC, sG.params, (x, y, poisoned), jax.random.key(8))
     assert float(m["sample"]) == 8.0 and int(sC2.step) == 1
+
+
+def test_remat_step_matches_for_all_variants():
+    """``--remat step`` must be trajectory-identical for every variant step
+    (same contract as the base step,
+    tests/test_attack_train.py::test_remat_step_is_trajectory_identical)."""
+    x, y = batch()
+    x2 = jnp.roll(x, 1, axis=0)
+    cases = [
+        (make_wanet_train_step, TinyGridGenerator(s=make_cfg().s), (x, y), False),
+        (make_inputaware_train_step, TinyGenerator(), (x, y, x2), False),
+        (make_imperceptible_train_step, TinyGenerator(), (x, y), False),
+        (make_multilabel_train_step, TinyCondGenerator(), (x, y), True),
+    ]
+    for maker, G, b, cond in cases:
+        cfg = make_cfg(bs=8)
+        C = TinyClassifier()
+        sC, sG, cm, nf = setup(C, G, cond=cond)
+        outs = []
+        for c in (cfg, cfg.replace(remat="step")):
+            step = jax.jit(maker(c, C, G))
+            a, g, m = step(sC, sG, cm, nf, b, jax.random.key(8))
+            outs.append((a.params, g.params, m))
+        for p, q in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+            np.testing.assert_allclose(np.asarray(p), np.asarray(q), rtol=1e-5, atol=1e-6)
