@@ -37,6 +37,9 @@ def setup_run_dirs(cfg: Config, ckpt_folder: str, log_subdir: str = "log_dir", f
 # device_put and OOMs training).  CIFAR-scale splits (614 MB) stay float32,
 # keeping the committed 32px evidence bit-identical.
 _U8_RESIDENCY_BYTES = 1 << 30
+# Row-block size for host-side quantization below: bounds the float
+# temporaries of the quantize expression to ~this many bytes per block.
+_QUANT_BLOCK_BYTES = 256 << 20
 
 
 def device_dataset(cfg: Config, mesh, train: bool) -> Tuple[jnp.ndarray, jnp.ndarray, ArrayDataset]:
@@ -52,8 +55,15 @@ def device_dataset(cfg: Config, mesh, train: bool) -> Tuple[jnp.ndarray, jnp.nda
             f"({ds.images.nbytes / 2**30:.2f} GB float32) stored on-device as uint8 "
             "(lossless for uint8-sourced corpora; <=1/255 quantization otherwise)"
         )
-        u8 = np.clip(np.round((ds.images.astype(np.float32) + 1.0) * 127.5), 0, 255)
-        images = replicate(mesh, jnp.asarray(u8.astype(np.uint8)))
+        # Quantize in ~256 MB row blocks: whole-split arithmetic would allocate
+        # several full-size float temporaries (~5x the split) on exactly the
+        # large-corpus path this branch exists to protect.
+        u8 = np.empty(ds.images.shape, np.uint8)
+        rows = max(1, _QUANT_BLOCK_BYTES // max(1, ds.images[0].nbytes))
+        for i in range(0, ds.images.shape[0], rows):
+            blk = ds.images[i : i + rows]
+            u8[i : i + rows] = np.clip(np.round((blk + 1.0) * 127.5), 0, 255)
+        images = replicate(mesh, jnp.asarray(u8))
     else:
         images = replicate(mesh, jnp.asarray(ds.images, dtype=jnp.float32))
     labels = replicate(mesh, jnp.asarray(ds.labels, dtype=jnp.int32))

@@ -41,12 +41,16 @@ def runlog_stage(prefix, stage, logdir="./quality_logs"):
     path = f"{logdir}/{prefix}/run.log"
     if not os.path.exists(path):
         return []
-    want = {"atk": "stage 2", "victim": "stage 3"}.get(stage)
+    want = {"atk": "stage 2", "victim": "stage 3", "eval": "stage 4"}.get(stage)
     recs, cur, epoch = [], None, 0
     for line in open(path):
         m = re.search(r"=== (stage \d)", line)
         if m:
             cur, epoch = m.group(1), 0
+            if cur == want:
+                # A Q_STAGES resume can append a second pass of the same
+                # stage to one log; the rerun supersedes the earlier pass.
+                recs = []
             continue
         if stage == "eval":
             m = re.search(r"FINAL: Clean Acc ([\d.]+) \| Bd BA ([\d.]+) \| Bd ASR ([\d.]+)", line)

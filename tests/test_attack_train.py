@@ -420,3 +420,22 @@ def test_uint8_residency_matches_float32_run():
     assert jnp.allclose(outs[0][0]["loss_ce"], outs[1][0]["loss_ce"], rtol=1e-4)
     diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), outs[0][1], outs[1][1])
     assert max(jax.tree.leaves(diffs)) < 1e-3
+
+
+def test_device_dataset_u8_quantization_blocked(monkeypatch):
+    """device_dataset's block-quantized u8 path must equal the single-shot
+    expression clip(round((x+1)*127.5)) for the whole split (the blocking
+    exists only to bound host-RAM temporaries on >1GB corpora)."""
+    import jax.numpy as jnp
+
+    from combat_tpu.cli import common as cc
+
+    cfg = make_cfg(bs=8).replace(synthetic_size=40)
+    ds = cc.get_dataset(cfg, train=True)
+    monkeypatch.setattr(cc, "_U8_RESIDENCY_BYTES", 0)  # force the u8 branch
+    # tiny block size => exercises multi-block assembly, not just one pass
+    monkeypatch.setattr(cc, "_QUANT_BLOCK_BYTES", ds.images[0].nbytes * 7)
+    images, labels, _ = cc.device_dataset(cfg, cc.make_mesh(1, "data"), train=True)
+    assert images.dtype == jnp.uint8
+    want = np.clip(np.round((ds.images + 1.0) * 127.5), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(np.asarray(images), want)

@@ -76,3 +76,27 @@ def test_runlog_stage_reconstructs_trajectories(tmp_path, monkeypatch):
     assert ev[-1]["Bd ASR"] == 99.20
     # stage-2 "Epoch:" lines must not leak into the victim trajectory
     assert all(r["Clean"] != 19.9 for r in vic)
+
+
+def test_runlog_stage_rerun_supersedes_earlier_pass(tmp_path, monkeypatch):
+    """A Q_STAGES resume appends a second pass of a stage to the same log;
+    the parser must keep only the rerun (correct epoch numbering, one FINAL
+    record per stage-4 pass)."""
+    qr = _load(tmp_path, monkeypatch)
+    d = tmp_path / "rZ"
+    d.mkdir()
+    (d / "run.log").write_text(
+        "=== stage 2: alternated generator ===\n"
+        "  Eval: Clean Acc: 11.0000 - Best: 0.0000 | Bd Acc: 50.0000 - Best: 0.0000 | F Acc: 60.0000\n"
+        "=== stage 4: final eval ===\n"
+        "FINAL: Clean Acc 40.00 | Bd BA 9.99 | Bd ASR 55.55\n"
+        "=== stage 2: alternated generator ===\n"  # resume rerun of stage 2
+        "  Eval: Clean Acc: 22.0000 - Best: 0.0000 | Bd Acc: 77.0000 - Best: 0.0000 | F Acc: 61.0000\n"
+        "  Eval: Clean Acc: 33.0000 - Best: 22.0000 | Bd Acc: 88.0000 - Best: 77.0000 | F Acc: 62.0000\n"
+        "=== stage 4: final eval ===\n"
+        "FINAL: Clean Acc 68.89 | Bd BA 0.72 | Bd ASR 99.20\n"
+    )
+    atk = qr.runlog_stage("rZ", "atk", logdir=str(tmp_path))
+    assert [(r["epoch"], r["Clean"]) for r in atk] == [(0, 22.0), (1, 33.0)]
+    ev = qr.runlog_stage("rZ", "eval", logdir=str(tmp_path))
+    assert [r["Bd ASR"] for r in ev] == [99.20]
