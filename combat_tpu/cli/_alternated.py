@@ -226,7 +226,7 @@ def run_alternated(cfg: Config, spec: AlternatedSpec):
             with Timer() as t, profile_epoch(cfg.profile_dir, epoch, epoch_current):
                 stateC, stateG, m = epoch_runner(
                     train_step, stateC, stateG, clean_model, netF, imgs, labs,
-                    jax.random.fold_in(k_run, epoch), cfg.bs,
+                    jax.random.fold_in(k_run, epoch), cfg.bs, chunk=cfg.scan_chunk,
                 )
                 m = metrics_to_host(m)
             n = m["sample"]
@@ -249,7 +249,7 @@ def run_alternated(cfg: Config, spec: AlternatedSpec):
                 eval_step,
                 ({"params": stateC.params, "batch_stats": stateC.batch_stats}, stateG.params, clean_model, netF),
                 timgs, tlabs, eidx, evalid, jax.random.fold_in(k_run, 10_000_000 + epoch), cfg.bs,
-                with_pair=spec.pair,
+                with_pair=spec.pair, chunk=cfg.scan_chunk,
             ))
             cs, bs_ = em["clean_sample"], max(em["bd_sample"], 1.0)
             acc_clean = em["clean_correct"] * 100 / cs

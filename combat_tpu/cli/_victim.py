@@ -147,7 +147,7 @@ def run_victim(cfg: Config, spec: VictimSpec):
             with Timer() as t, profile_epoch(cfg.profile_dir, epoch, epoch_current):
                 stateC, m = train_epoch_classifier(
                     train_step, stateC, paramsG, imgs, labs, poisoned,
-                    jax.random.fold_in(k_run, epoch), cfg.bs, has_poison=True,
+                    jax.random.fold_in(k_run, epoch), cfg.bs, has_poison=True, chunk=cfg.scan_chunk,
                 )
                 m = metrics_to_host(m)
             n = m["sample"]
@@ -156,7 +156,7 @@ def run_victim(cfg: Config, spec: VictimSpec):
                 eval_step,
                 ({"params": stateC.params, "batch_stats": stateC.batch_stats}, paramsG),
                 timgs, tlabs, eidx, evalid, jax.random.fold_in(k_run, 10_000_000 + epoch), cfg.bs,
-                with_pair=spec.eval_pair,
+                with_pair=spec.eval_pair, chunk=cfg.scan_chunk,
             ))
             acc_clean = em["clean_correct"] * 100 / em["clean_sample"]
             acc_bd = em["bd_correct"] * 100 / max(em["bd_sample"], 1.0)

@@ -96,7 +96,7 @@ def run(cfg: Config):
     with mesh:
         em = metrics_to_host(eval_epoch(
             step, (varsC, paramsG), timgs, tlabs, jnp.asarray(eidx), jnp.asarray(evalid),
-            jax.random.fold_in(key, 1), cfg.bs,
+            jax.random.fold_in(key, 1), cfg.bs, chunk=cfg.scan_chunk,
         ))
     acc_clean = em["clean_correct"] * 100 / em["clean_sample"]
     ba = em["bd_ba"] * 100 / max(em["bd_sample"], 1.0)

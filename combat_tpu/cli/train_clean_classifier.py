@@ -122,14 +122,15 @@ def run(cfg: Config) -> float:
             with Timer() as t, profile_epoch(cfg.profile_dir, epoch, epoch_current):
                 stateC, m = train_epoch_classifier(
                     train_step, stateC, None, imgs, labs, None,
-                    jax.random.fold_in(k_run, epoch), cfg.bs,
+                    jax.random.fold_in(k_run, epoch), cfg.bs, chunk=cfg.scan_chunk,
                 )
                 m = metrics_to_host(m)
             train_acc = m["clean_correct"] * 100.0 / m["sample"]
             ips = m["sample"] / t.seconds
             em = metrics_to_host(
                 eval_epoch(eval_step, ({"params": stateC.params, "batch_stats": stateC.batch_stats},),
-                           timgs, tlabs, eidx, evalid, jax.random.key(0), cfg.bs, with_key=False)
+                           timgs, tlabs, eidx, evalid, jax.random.key(0), cfg.bs, with_key=False,
+                           chunk=cfg.scan_chunk)
             )
             acc_clean = em["clean_correct"] * 100.0 / em["clean_sample"]
             print(

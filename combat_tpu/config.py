@@ -135,6 +135,17 @@ class Config:
     # traffic.  Exact: recompute reuses the same PRNG subkeys, so losses,
     # gradients, and the trajectory are unchanged (tests/test_attack_train).
     remat: str = "none"  # none | step
+    # Split each epoch's device scan into dispatches of at most N steps
+    # (0 = whole epoch as ONE dispatch, the fastest path — PERF.md
+    # dispatch-latency note).  Needed when a single XLA execution would run
+    # for minutes: the shared-TPU tunnel kills the worker on very long
+    # executions (every imagenet10 10k-image alternated epoch, ~200 s in one
+    # scan, died at first read-back across three HBM-safe configs —
+    # quality_logs/quality_imagenet10_r3{e,h,i}.log — while the same
+    # pipeline's ~25 s stage-1 epochs survived hundreds of dispatches).
+    # Chunking costs #chunks extra RPCs/epoch (~75 ms each) and is
+    # numerically identical to the whole-epoch scan (tests/test_scan_chunk).
+    scan_chunk: int = 0
     profile_dir: str = ""  # non-empty: jax.profiler trace of one post-compile epoch
     # jit-compatible NaN tripwire (the reference runs
     # torch.autograd.set_detect_anomaly(True) + NaN prints in every train(),

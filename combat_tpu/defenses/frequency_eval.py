@@ -54,7 +54,7 @@ def run(cfg):
     with mesh:
         em = metrics_to_host(eval_epoch(
             step, (vars_det, paramsG), timgs, tlabs, jnp.asarray(eidx), jnp.asarray(evalid),
-            jax.random.fold_in(key, 1), cfg.bs,
+            jax.random.fold_in(key, 1), cfg.bs, chunk=cfg.scan_chunk,
         ))
     acc = em["clean_correct"] * 100 / em["sample"]
     det = em["detected"] * 100 / em["sample"]

@@ -82,13 +82,15 @@ def run(cfg: Config):
         for epoch in range(epoch_current, cfg.n_iters):
             with Timer() as t:
                 state, m = train_epoch_classifier(
-                    train_step, state, None, imgs01, labs, None, jax.random.fold_in(key, epoch), cfg.bs
+                    train_step, state, None, imgs01, labs, None, jax.random.fold_in(key, epoch), cfg.bs,
+                    chunk=cfg.scan_chunk,
                 )
                 m = metrics_to_host(m)
             acc_train = m["correct"] * 100 / m["sample"]
             em = metrics_to_host(eval_epoch(
                 eval_step, ({"params": state.params, "batch_stats": state.batch_stats},),
                 timgs01, tlabs, eidx, evalid, jax.random.fold_in(key, 7_000_000 + epoch), cfg.bs,
+                chunk=cfg.scan_chunk,
             ))
             acc = em["correct"] * 100 / em["sample"]
             print(f"Epoch {epoch + 1}: CE Loss: {m['loss_ce'] / m['sample']:.4f} | Train Acc: {acc_train:.4f} | "
