@@ -38,6 +38,26 @@ def channel_activations(C, varsC, images: jnp.ndarray, bs: int = 256) -> jnp.nda
     return total / steps
 
 
+def chunked_mask_eval(eval_with_mask, masks: jnp.ndarray, chunk: int, *args) -> jnp.ndarray:
+    """``lax.map`` of ``eval_with_mask`` over ``masks`` in dispatches of at
+    most ``chunk`` rows.  Pads the mask count up to a multiple of ``chunk``
+    by repeating the last mask (extra rows sliced off afterwards) so every
+    dispatch shares ONE compiled executable.  ``args`` are jit ARGUMENTS,
+    not closures: a closed-over array is baked into the program as a
+    constant, and at 64px+ the embedded test split blows the remote-compile
+    upload limit (observed: HTTP 413 on the celeba sweep;
+    quality_logs/r3d_queue.log)."""
+    n_masks = masks.shape[0]
+    chunk = min(chunk, n_masks)
+    pad = (-n_masks) % chunk
+    padded = jnp.concatenate([masks, jnp.repeat(masks[-1:], pad, axis=0)], axis=0) if pad else masks
+    eval_chunk = jax.jit(
+        lambda ms, *a: jax.lax.map(lambda m: eval_with_mask(m, *a), ms)
+    )
+    outs = [eval_chunk(padded[i : i + chunk], *args) for i in range(0, padded.shape[0], chunk)]
+    return jnp.concatenate(outs, axis=0)[:n_masks]
+
+
 def pruning_sweep(
     cfg: Config,
     C,
@@ -48,6 +68,7 @@ def pruning_sweep(
     labels: jnp.ndarray,
     key: jax.Array,
     bs: int = 256,
+    mask_chunk: int = 57,
 ):
     """Evaluate clean/bd accuracy for every pruning count 0..n_channels.
     Returns (n_channels+1, 2) array of [clean_acc, bd_acc] percentages."""
@@ -82,27 +103,14 @@ def pruning_sweep(
         totals, _ = jax.lax.scan(body, jnp.zeros((2,), jnp.float32), (xb, yb, jnp.arange(steps)))
         return totals * 100.0 / (steps * bs)
 
-    # Chunked dispatch: one monolithic 513-mask ``lax.map`` crashes the TPU
-    # worker (program too large).  Pad the mask count up to a multiple of a
-    # fixed chunk size so every dispatch shares ONE compiled executable
-    # (padding repeats the last mask; the extra rows are sliced off).  For
-    # the PreActResNet layer4 width this is 9 equal 57-mask chunks.
-    # The dataset/params/masks are jit ARGUMENTS, not closures: a closed-over
-    # array is baked into the program as a constant, and at 64px+ the
-    # embedded test split blows the remote-compile upload limit (observed:
-    # HTTP 413 on the celeba sweep; quality_logs/r3d_queue.log).
-    n_masks = masks.shape[0]  # n_ch + 1
-    chunk = min(57, n_masks)
-    pad = (-n_masks) % chunk
-    padded = jnp.concatenate([masks, jnp.repeat(masks[-1:], pad, axis=0)], axis=0) if pad else masks
-    eval_chunk = jax.jit(
-        lambda ms, vC, pG, xb, yb: jax.lax.map(lambda m: eval_with_mask(m, vC, pG, xb, yb), ms)
-    )
-    outs = [
-        eval_chunk(padded[i : i + chunk], varsC, paramsG, xb, yb)
-        for i in range(0, padded.shape[0], chunk)
-    ]
-    return jnp.concatenate(outs, axis=0)[:n_masks]
+    # Chunked dispatch (chunked_mask_eval): one monolithic 513-mask
+    # ``lax.map`` crashes the TPU worker (program too large).  ``mask_chunk``
+    # bounds per-dispatch work: 57 is the proven-safe point for the 32/64px
+    # geometries (9 equal chunks for the PreActResNet layer4 width); at
+    # 224px one 57-mask chunk sweeps ~5.7 G pixel-forwards in a single
+    # execution, which risks the tunnel's long-execution watchdog
+    # (config.py scan_chunk note) — pass a smaller --fp_mask_chunk there.
+    return chunked_mask_eval(eval_with_mask, masks, mask_chunk, varsC, paramsG, xb, yb)
 
 
 def main(argv=None):
@@ -117,6 +125,7 @@ def main(argv=None):
 
     parser = build_parser()
     parser.add_argument("--outfile", type=str, default="./fine_pruning_results.txt")
+    parser.add_argument("--fp_mask_chunk", type=int, default=57)
     ns = parser.parse_args(argv)
     outfile = ns.outfile
     cfg = apply_dataset_preset(Config(**{k: v for k, v in vars(ns).items() if k in Config.__dataclass_fields__}))
@@ -136,7 +145,9 @@ def main(argv=None):
 
     ds = get_dataset(cfg, train=False)
     images, labels = jnp.asarray(ds.images), jnp.asarray(ds.labels)
-    results = np.asarray(pruning_sweep(cfg, C, G, varsC, paramsG, images, labels, jax.random.key(cfg.seed)))
+    results = np.asarray(
+        pruning_sweep(cfg, C, G, varsC, paramsG, images, labels, jax.random.key(cfg.seed), mask_chunk=ns.fp_mask_chunk)
+    )
     with open(outfile, "w") as f:
         for idx, (clean, bd) in enumerate(results):
             f.write("%d %0.4f %0.4f\n" % (idx, clean, bd))

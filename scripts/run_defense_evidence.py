@@ -34,6 +34,12 @@ OUT = os.environ.get("OUT", "./quality_logs/defenses")
 # PreActResNet cifar path and the ResNet celeba path) EXCEPT Grad-CAM,
 # which is cifar10-only in the reference too (gradcam.py:276-281).
 DATASET = os.environ.get("DATASET", "cifar10")
+# extra flags appended to every defense CLI (e.g. "--synthetic_size 10000
+# --scan_chunk 64" so the imagenet10 suite sees the same reduced split the
+# victim trained on and stays under the tunnel's long-execution watchdog)
+EXTRA = os.environ.get("EXTRA", "").split()
+# fine-pruning per-dispatch mask-chunk override (see --fp_mask_chunk)
+FP_CHUNK = os.environ.get("FP_CHUNK", "57")
 
 
 def tee(name, fn, argv):
@@ -70,25 +76,29 @@ def main():
 
     from combat_tpu.defenses import combine_images, fine_pruning, neural_cleanse, strip
 
-    common = ["--dataset", DATASET, "--synthetic_data", "--bs", "128", "--seed", "1"]
-    nc = ["--nc_epochs", NC_EPOCHS]
-    tee(f"neural_cleanse_{VICTIM}.txt", neural_cleanse.main,
-        common + nc + ["--saving_prefix", VICTIM])
-    tee("neural_cleanse_benign.txt", neural_cleanse.main,
-        common + nc + ["--saving_prefix", "benign"])
+    common = ["--dataset", DATASET, "--synthetic_data", "--bs", "128", "--seed", "1"] + EXTRA
+    # fast defenses first so an interrupted run still leaves complete
+    # STRIP/fine-pruning/collage evidence; the NC pair (10 labels x 2
+    # models) dominates wall time
     strip_common = common + ["--n_sample", "64", "--n_test", "64", "--test_rounds", "2"]
     tee(f"strip_{VICTIM}.txt", strip.main,
         strip_common + ["--saving_prefix", VICTIM, "--strip_mode", "attack"])
     tee("strip_benign.txt", strip.main,
         strip_common + ["--saving_prefix", "benign", "--strip_mode", "clean"])
     tee(f"fine_pruning_{VICTIM}.txt", fine_pruning.main,
-        common + ["--saving_prefix", VICTIM])
+        common + ["--saving_prefix", VICTIM, "--fp_mask_chunk", FP_CHUNK,
+                  "--outfile", os.path.join(OUT, f"fine_pruning_{VICTIM}_sweep.txt")])
     if DATASET == "cifar10":  # Grad-CAM is cifar10-only in the reference too
         from combat_tpu.defenses import gradcam
 
         tee(f"gradcam_{VICTIM}.txt", gradcam.main,
             common + ["--saving_prefix", VICTIM, "--load_checkpoint_clean", CLEAN])
     combine_images.main(["--saving_prefix", VICTIM, "--dataset", DATASET])
+    nc = ["--nc_epochs", NC_EPOCHS]
+    tee(f"neural_cleanse_{VICTIM}.txt", neural_cleanse.main,
+        common + nc + ["--saving_prefix", VICTIM])
+    tee("neural_cleanse_benign.txt", neural_cleanse.main,
+        common + nc + ["--saving_prefix", "benign"])
     print("defense evidence complete")
 
 

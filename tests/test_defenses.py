@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from combat_tpu.config import Config, apply_dataset_preset
-from combat_tpu.defenses.fine_pruning import channel_activations
+from combat_tpu.defenses.fine_pruning import channel_activations, chunked_mask_eval
 from combat_tpu.defenses.frequency import corrupt_one, dct_features_01, make_detector_train_step
 from combat_tpu.defenses.gradcam import gradcam, guided_backprop
 from combat_tpu.defenses.neural_cleanse import outlier_detection, raw_mask, raw_pattern
@@ -73,6 +73,23 @@ def test_fine_pruning_mask_equivalence():
     np.testing.assert_allclose(np.asarray(logits_masked), np.asarray(pooled @ w + b), rtol=1e-4, atol=1e-4)
     acts = channel_activations(C, varsC, x, bs=2)
     assert acts.shape == (512,)
+
+
+def test_chunked_mask_eval_is_chunk_invariant():
+    """The fine-pruning sweep's chunked dispatch (pad with the last mask,
+    map per chunk, slice) must return the same results for ANY chunk size,
+    including non-dividing ones and chunk > n_masks (--fp_mask_chunk)."""
+    masks = jnp.arange(13, dtype=jnp.float32).reshape(13, 1)
+    scale = jnp.float32(2.0)
+
+    def eval_with_mask(mask, scale):
+        return jnp.stack([mask.sum() * scale, mask.sum() + scale])
+
+    ref = chunked_mask_eval(eval_with_mask, masks, 13, scale)
+    assert ref.shape == (13, 2)
+    for chunk in (1, 4, 5, 57):
+        out = chunked_mask_eval(eval_with_mask, masks, chunk, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
 
 
 def test_gradcam_shapes_and_range():
