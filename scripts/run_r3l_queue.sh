@@ -5,6 +5,8 @@
 # the evasion matrix across all three reference dataset geometries
 # (cifar10 32px + celeba 64px are in QUALITY.md already).
 #
+# NC depth 30 (reference default 50; early-stop active) to fit both NC
+# models before the round cutoff.
 # Order inside the harness is fast-first (STRIP -> fine-pruning -> collage
 # -> NC pair), so an end-of-round cutoff still leaves complete fast-defense
 # evidence.  --fp_mask_chunk 16 bounds each fine-pruning dispatch to
@@ -40,7 +42,7 @@ land() {
 probe
 echo "=== imagenet10 defense suite: in10d victim vs benign ==="
 VICTIM_PREFIX=in10d_victim CLEAN_PREFIX=in10d_clean_cls DATASET=imagenet10 \
-    NC_EPOCHS=50 OUT=./quality_logs/defenses_imagenet10 FP_CHUNK=16 \
+    NC_EPOCHS=30 OUT=./quality_logs/defenses_imagenet10 FP_CHUNK=16 \
     EXTRA="--synthetic_size 10000 --scan_chunk 64" \
     timeout 18000 python scripts/run_defense_evidence.py 2>&1 | tee quality_logs/defenses_imagenet10_r3.log
 land "Evidence: imagenet10 defense suite, benign-calibrated (third geometry)" \
