@@ -78,7 +78,7 @@ def main():
 
     common = ["--dataset", DATASET, "--synthetic_data", "--bs", "128", "--seed", "1"] + EXTRA
     # fast defenses first so an interrupted run still leaves complete
-    # STRIP/fine-pruning/collage evidence; the NC pair (10 labels x 2
+    # STRIP/fine-pruning evidence; the NC pair (10 labels x 2
     # models) dominates wall time
     strip_common = common + ["--n_sample", "64", "--n_test", "64", "--test_rounds", "2"]
     tee(f"strip_{VICTIM}.txt", strip.main,
@@ -93,12 +93,14 @@ def main():
 
         tee(f"gradcam_{VICTIM}.txt", gradcam.main,
             common + ["--saving_prefix", VICTIM, "--load_checkpoint_clean", CLEAN])
-    combine_images.main(["--saving_prefix", VICTIM, "--dataset", DATASET])
     nc = ["--nc_epochs", NC_EPOCHS]
     tee(f"neural_cleanse_{VICTIM}.txt", neural_cleanse.main,
         common + nc + ["--saving_prefix", VICTIM])
     tee("neural_cleanse_benign.txt", neural_cleanse.main,
         common + nc + ["--saving_prefix", "benign"])
+    # collage LAST: it renders the NC-reversed (mask, pattern) pairs from
+    # ./results, so it depends on the NC victim run above
+    combine_images.main(["--saving_prefix", VICTIM, "--dataset", DATASET])
     print("defense evidence complete")
 
 

@@ -7,9 +7,9 @@
 #
 # NC depth 30 (reference default 50; early-stop active) to fit both NC
 # models before the round cutoff.
-# Order inside the harness is fast-first (STRIP -> fine-pruning -> collage
+# Order inside the harness is fast-first (STRIP -> fine-pruning
 # -> NC pair), so an end-of-round cutoff still leaves complete fast-defense
-# evidence.  --fp_mask_chunk 16 bounds each fine-pruning dispatch to
+# evidence; the collage renders NC outputs so it runs last.  --fp_mask_chunk 16 bounds each fine-pruning dispatch to
 # ~1.6 G pixel-forwards (57 at 224px would risk the tunnel watchdog).
 #
 # Run: nohup setsid bash scripts/run_r3l_queue.sh > quality_logs/r3l_queue.log 2>&1 &
