@@ -6,9 +6,14 @@ Measures the fused alternated train step (C-step + G-step + trigger synthesis
 geometry, PreActResNet18 surrogate + UNet generator, global batch 128
 (reference ``README.md:88-93``, ``config.py:23-39``).  Data is synthetic and
 device-resident (content doesn't affect throughput); timing uses a value read
-(device_get) around timed epochs after a warmup epoch — some experimental
-PJRT backends report readiness before remote execution completes, so
-``block_until_ready`` alone is not a fence.
+(device_get) as the fence — some experimental PJRT backends report readiness
+before remote execution completes, so ``block_until_ready`` alone is not one.
+After a warm-compile epoch, two chained-dispatch windows (1 and 7 epochs,
+fenced once each) are timed and the per-epoch slope is reported: this
+subtracts the constant per-dispatch tunnel RPC latency (``dispatch_latency_s``
+in the output; ~75 ms healthy, observed in the seconds when the shared tunnel
+degrades), which production amortizes the same way by dispatching epochs
+back-to-back asynchronously.
 
 Baseline denominator (``vs_baseline``): the reference repo publishes no
 throughput numbers (BASELINE.md) and this container has no CUDA GPU, so the
@@ -152,19 +157,37 @@ def main() -> None:
     except Exception:
         pass  # cost model not available on every backend; fields stay null
 
+    # Two-window chained-dispatch timing: each window dispatches a chain of
+    # whole-epoch executions (fully async — states thread call-to-call) and
+    # fences ONCE at the end, so the constant per-dispatch tunnel RPC latency
+    # (~75 ms healthy, but observed seconds when the shared tunnel degrades)
+    # appears once per window; the slope (t_long - t_short)/(n_long - n_short)
+    # is the pure steady-state epoch time, which is what production pays
+    # (train/loop.py dispatches epochs back-to-back the same way).
+    def timed_epochs(step_fn, sC, sG, n, key0):
+        m = None
+        t0 = time.perf_counter()
+        for i in range(n):
+            sC, sG, m = train_epoch_alternated(
+                step_fn, sC, sG, clean_model, netF, images, labels, jax.random.key(key0 + i), BATCH
+            )
+        float(m["loss_ce"])  # value-read fence (see module docstring)
+        return sC, sG, time.perf_counter() - t0
+
+    N_SHORT, N_LONG = 1, 7
     with mesh:
         stateC, stateG, m = train_epoch_alternated(
             step, stateC, stateG, clean_model, netF, images, labels, jax.random.key(10), BATCH
         )
-        float(m["loss_ce"])  # value-read fence (see module docstring)
-        t0 = time.perf_counter()
-        stateC, stateG, m = train_epoch_alternated(
-            step, stateC, stateG, clean_model, netF, images, labels, jax.random.key(11), BATCH
-        )
-        float(m["loss_ce"])
-        dt = time.perf_counter() - t0
+        float(m["loss_ce"])  # warm compile
+        stateC, stateG, t_short = timed_epochs(step, stateC, stateG, N_SHORT, 11)
+        stateC, stateG, t_long = timed_epochs(step, stateC, stateG, N_LONG, 20)
 
-    img_s = BATCH * TIMED_STEPS / dt
+    epoch_s = (t_long - t_short) / (N_LONG - N_SHORT)
+    if epoch_s <= 0:  # pathological jitter: fall back to the long window whole
+        epoch_s = t_long / N_LONG
+    dispatch_latency_s = max(t_short - epoch_s * N_SHORT, 0.0)
+    img_s = BATCH * TIMED_STEPS / epoch_s
     img_s_chip = img_s / n_chips
 
     # Production mode: --train_metrics loss_only drops the three metric-only
@@ -177,14 +200,13 @@ def main() -> None:
         sC2, sG2, m = train_epoch_alternated(
             step_fast, stateC, stateG, clean_model, netF, images, labels, jax.random.key(12), BATCH
         )
-        float(m["loss_ce"])
-        t0 = time.perf_counter()
-        sC2, sG2, m = train_epoch_alternated(
-            step_fast, stateC, stateG, clean_model, netF, images, labels, jax.random.key(13), BATCH
-        )
-        float(m["loss_ce"])
-        dt_fast = time.perf_counter() - t0
-    loss_only_img_s_chip = BATCH * TIMED_STEPS / dt_fast / n_chips
+        float(m["loss_ce"])  # warm compile
+        sC2, sG2, tf_short = timed_epochs(step_fast, stateC, stateG, N_SHORT, 13)
+        sC2, sG2, tf_long = timed_epochs(step_fast, sC2, sG2, N_LONG, 30)
+    epoch_fast_s = (tf_long - tf_short) / (N_LONG - N_SHORT)
+    if epoch_fast_s <= 0:
+        epoch_fast_s = tf_long / N_LONG
+    loss_only_img_s_chip = BATCH * TIMED_STEPS / epoch_fast_s / n_chips
 
     measured = None
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
@@ -197,6 +219,7 @@ def main() -> None:
         "value": round(img_s_chip, 1),
         "unit": "images/sec/chip",
         "loss_only_img_s_chip": round(loss_only_img_s_chip, 1),
+        "dispatch_latency_s": round(dispatch_latency_s, 3),
     }
     if measured:
         out["vs_baseline"] = round(img_s_chip / measured["img_s"], 1)
