@@ -211,6 +211,14 @@ def synthetic_dataset(
     bg_amp = rng.uniform(0.1, 0.35, size=n).astype(np.float32)[:, None, None, None]
     noise = rng.randn(n, h, w, c).astype(np.float32) * 0.12
     images = np.clip(base * amp + bg * bg_amp + noise, -1.0, 1.0)
+    # optional label-noise floor (TRAIN split only): caps the achievable
+    # confidence of any classifier trained on the split — the calibration
+    # lever for the STRIP entropy study (see Config.synthetic_label_noise)
+    if train and cfg.synthetic_label_noise > 0.0:
+        nz = rng.rand(n) < cfg.synthetic_label_noise
+        labels = np.where(
+            nz, (labels + rng.randint(1, k, size=n)) % k, labels
+        ).astype(np.int32)
     ds = ArrayDataset(images.astype(np.float32), labels)
     if return_meta:
         # per-image generation parameters, for attack-failure analysis

