@@ -35,7 +35,7 @@ Queue-level behavior:
     attempt, sleeping until it answers;
   * one TPU process at a time by construction (stages run serially).
 
-Usage: nohup setsid python scripts/queue.py scripts/queues/r4.json \
+Usage: nohup setsid python scripts/run_queue.py scripts/queues/r4.json \
            > quality_logs/r4_queue.log 2>&1 &
 """
 

@@ -13,10 +13,16 @@
 set -x
 cd /root/repo
 
+# PROVENANCE NOTE (advisor r3 #3): as run on 2026-08-20 both 600s-stall
+# attempts were killed before first compile under a ~100x tunnel degradation;
+# a third attempt at stall=1800 (the budget below, aligned post-hoc) was
+# pre-empted by round end.  The committed log was renamed
+# bench_scan_chunk_r3_NO_RESULT_tunnel_degraded.log -- it contains only the
+# watchdog-kill diagnostics, NO measurement.
 rm -f quality_logs/bench_scan_chunk_r3.log
-python scripts/watchdog_run.py quality_logs/bench_scan_chunk_r3.log 600 -- \
+python scripts/watchdog_run.py quality_logs/bench_scan_chunk_r3.log 1800 -- \
     python scripts/bench_scan_chunk.py \
-    || python scripts/watchdog_run.py quality_logs/bench_scan_chunk_r3.log 600 -- \
+    || python scripts/watchdog_run.py quality_logs/bench_scan_chunk_r3.log 1800 -- \
         python scripts/bench_scan_chunk.py
 git add quality_logs/bench_scan_chunk_r3.log \
     && git commit -m "Evidence: scan_chunk dispatch-overhead bench at the headline point" \
