@@ -339,6 +339,28 @@ def test_synthetic_size_override():
     assert len(synthetic_dataset(cfg.replace(synthetic_size=0), False)) == 10000
 
 
+def test_synthetic_label_noise_train_only_images_unchanged():
+    """--synthetic_label_noise p flips ~p of TRAIN labels to a random other
+    class (the STRIP-calibration lever, Config.synthetic_label_noise); images
+    and the test split must be untouched so every other metric stays
+    comparable."""
+    import numpy as np
+
+    from combat_tpu.data import synthetic_dataset
+
+    cfg = make_cfg(bs=8).replace(synthetic_size=2000, synthetic_label_noise=0.1)
+    base = cfg.replace(synthetic_label_noise=0.0)
+    tr, tr0 = synthetic_dataset(cfg, True), synthetic_dataset(base, True)
+    flipped = (tr.labels != tr0.labels).mean()
+    assert 0.07 < flipped < 0.13, flipped
+    # flips go to a DIFFERENT class, never the original
+    assert (tr.labels[tr.labels != tr0.labels] != tr0.labels[tr.labels != tr0.labels]).all()
+    np.testing.assert_array_equal(tr.images, tr0.images)
+    te, te0 = synthetic_dataset(cfg, False), synthetic_dataset(base, False)
+    np.testing.assert_array_equal(te.labels, te0.labels)
+    np.testing.assert_array_equal(te.images, te0.images)
+
+
 def test_smooth_fft_path_matches_loop():
     """The Fourier fast path for large pass counts (resolution-scaled 64/224px
     synthetic datasets) must reproduce the literal 5-point diffusion loop."""
