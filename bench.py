@@ -228,8 +228,8 @@ def main() -> None:
 
         Returns (epoch_s = min slope, dispatch_latency_s, jitter, n_pairs).
         The min over repeated slopes rejects one-sided jitter spikes; the
-        spread is published so noise is visible (ADVICE r3)."""
-        nonlocal stateC, stateG
+        spread is published so noise is visible (ADVICE r3).  Each mode
+        starts from the pristine stateC/stateG (captured, not mutated)."""
         sC, sG, m = train_epoch_alternated(
             step_fn, stateC, stateG, clean_model, netF, images, labels, jax.random.key(key0), BATCH
         )
