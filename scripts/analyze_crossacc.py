@@ -96,7 +96,7 @@ def main():
     n = len(tds)
     rng = np.random.RandomState(7)
     perm = rng.permutation(n)  # independent second stream (x2)
-    bs = cfg.bs
+    bs = min(cfg.bs, n)  # full batches only; the <bs tail is dropped
     totals = None
     with mesh:
         for i in range(0, n - bs + 1, bs):
@@ -106,6 +106,7 @@ def main():
             m = step(x, y, x2, jax.random.fold_in(jax.random.key(123), i))
             m = jax.tree.map(float, m)
             totals = m if totals is None else {k: totals[k] + m[k] for k in m}
+    assert totals is not None, f"no full batch: n={n} bs={bs}"
     nn = totals.pop("n")
     print(f"rows (non-target): {int(nn)}   victim={victim}  gen={gen}  clean_model={clean}")
     for name in ("victim", "cleanmodel"):
