@@ -109,6 +109,9 @@ def run_entry(entry: dict, plan: str, deadline) -> bool:
             env[rkey] = (env.get(rkey, "") + " " + rflag).strip()
             log(f"{name}: resume probe hit ({rp}) -> {rkey} += {rflag}")
         probe_tpu()
+        if deadline and time.time() > deadline:  # probe may block through it
+            log(f"QUEUE-DEADLINE after probe, before {name}; stopping")
+            return False
         log(f"=== {name} attempt {attempt}: {' '.join(entry['cmd'])} ===")
         rc = subprocess.call(
             [sys.executable, "scripts/watchdog_run.py", log_path, stall, "--"] + entry["cmd"],
