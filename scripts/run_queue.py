@@ -123,7 +123,11 @@ def run_entry(entry: dict, plan: str, deadline) -> bool:
             open(marker, "w").write(time.strftime("%F %T"))
             c = entry.get("commit")
             if c:
-                commit(c["msg"], c["paths"])
+                # include the done-marker so idempotency survives container
+                # resets (which restore the tree to git HEAD: the 2026-08-20
+                # 17:04 reset wiped the uncommitted r4 markers and would have
+                # re-run every completed stage)
+                commit(c["msg"], c["paths"] + [marker])
             return True
         log(f"{name} attempt {attempt} rc={rc}; retrying after tunnel recovery")
         time.sleep(90)
