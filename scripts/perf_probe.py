@@ -42,10 +42,14 @@ def main():
     # dataset=... re-applies that dataset's geometry preset (input size /
     # class count), so 224px imagenet10 operating points are probeable;
     # remaining k=v overrides (bs, remat, train_metrics, ...) apply on top.
+    # BS is only a fallback when neither the preset nor the CLI names a
+    # batch size (a hardcoded bs would probe 224px presets at 128 — OOM
+    # risk and unrepresentative of the preset's operating point).
     dataset = overrides.pop("dataset", "cifar10")
-    cfg = apply_dataset_preset(Config(dataset=dataset, synthetic_data=True)).replace(
-        **{"bs": BS, **overrides}
-    )
+    cfg = apply_dataset_preset(Config(dataset=dataset, synthetic_data=True))
+    if "bs" not in overrides and dataset == "cifar10":
+        overrides["bs"] = BS
+    cfg = cfg.replace(**overrides)
     bs = cfg.bs
     from combat_tpu.models.layers import set_compute_dtype
 

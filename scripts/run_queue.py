@@ -17,17 +17,30 @@ Each manifest entry:
   resume_probe  checkpoint path; when it exists at (re)try time the
                 ``resume_flag`` is appended to env[``resume_env``]
                 (default Q_EXTRA) so the stage continues instead of
-                restarting (container resets wipe checkpoints/, not logs)
+                restarting.  If it does NOT exist but a persisted archive
+                does (see ``persist``), the archive is restored first —
+                container resets restore git HEAD, so committed archives
+                survive resets while live ``checkpoints/`` does not.
   resume_flag   default ``--continue_training``
   requires      path that must exist before running (else the stage and its
                 dependents are skipped with a visible QUEUE-SKIP line)
+  skip_if       path; when it exists at queue time the stage is recorded as
+                done without running (for work completed by an earlier plan
+                whose live artifacts survived)
+  persist       checkpoint DIRECTORY to archive into a committed tarball
+                under quality_logs/ckpt_persist/ after stage success
+  persist_every seconds between mid-stage persists of the ``persist`` dir
+                while the child runs (0 = end-of-stage only, the default).
+                Use for multi-hour stages so a reset costs at most this
+                much progress, not the whole stage.
   commit        {"msg": ..., "paths": [...]} committed after success
   optional      if true, a failure doesn't stop the queue
 
 Queue-level behavior:
   * done-markers under quality_logs/.queue_done/<plan>/<name> make reruns
-    of the same plan idempotent (restart the queue after a container reset
-    and completed stages are skipped);
+    of the same plan idempotent; markers are committed (with ``git add -f``
+    — the directory is otherwise ignorable) alongside stage evidence so
+    resets that restore git HEAD don't forget completed stages;
   * QUEUE_DEADLINE (unix seconds or +HHMM offset): no NEW stage starts
     after the deadline — the TPU must be free for the driver's bench.py at
     round end;
@@ -35,8 +48,8 @@ Queue-level behavior:
     attempt, sleeping until it answers;
   * one TPU process at a time by construction (stages run serially).
 
-Usage: nohup setsid python scripts/run_queue.py scripts/queues/r4.json \
-           > quality_logs/r4_queue.log 2>&1 &
+Usage: nohup setsid python scripts/run_queue.py scripts/queues/r5.json \
+           > quality_logs/r5_queue.log 2>&1 &
 """
 
 import json
@@ -47,6 +60,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DONE_ROOT = os.path.join(REPO, "quality_logs", ".queue_done")
+PERSIST_ROOT = os.path.join(REPO, "quality_logs", "ckpt_persist")
 
 
 def log(msg: str) -> None:
@@ -67,10 +81,80 @@ def probe_tpu() -> None:
 
 
 def commit(msg: str, paths) -> None:
-    subprocess.call(["git", "add"] + list(paths), cwd=REPO)
+    # -f: done-markers/archives live under quality_logs/ paths that older
+    # .gitignore rules matched; a silently refused `git add` here is exactly
+    # the failure mode that made r4 resets re-run finished stages.
+    rc_add = subprocess.call(["git", "add", "-f"] + list(paths), cwd=REPO)
+    if rc_add != 0:
+        log(f"GIT-ADD FAILED rc={rc_add} for {paths} — commit will be incomplete")
     rc = subprocess.call(["git", "commit", "-m", msg], cwd=REPO)
     if rc != 0:
         log(f"commit failed (non-fatal): {msg}")
+
+
+def _dir_signature(path: str):
+    """Cheap change detector: (file count, total bytes, max mtime)."""
+    n = total = 0
+    mt = 0.0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            fp = os.path.join(root, f)
+            try:
+                st = os.stat(fp)
+            except OSError:
+                continue
+            n += 1
+            total += st.st_size
+            mt = max(mt, st.st_mtime)
+    return (n, total, mt)
+
+
+def archive_name(persist_dir: str) -> str:
+    return os.path.join(PERSIST_ROOT, persist_dir.strip("/").replace("/", "__") + ".tar.gz")
+
+
+def persist_ckpt(persist_dir: str, last_sig, reason: str):
+    """Archive `persist_dir` (repo-relative) into a committed tarball.
+
+    Returns the new signature, or `last_sig` unchanged when there was
+    nothing new to persist.  Keeps only the LATEST archive per directory
+    (fixed filename, overwritten) to bound working-tree size.
+    """
+    src = os.path.join(REPO, persist_dir)
+    if not os.path.isdir(src):
+        return last_sig
+    sig = _dir_signature(src)
+    if sig == last_sig or sig[0] == 0:
+        return last_sig
+    os.makedirs(PERSIST_ROOT, exist_ok=True)
+    arc = archive_name(persist_dir)
+    tmp = arc + ".tmp"
+    rc = subprocess.call(["tar", "-czf", tmp, persist_dir], cwd=REPO)
+    if rc != 0:
+        log(f"persist: tar rc={rc} for {persist_dir} (will retry next cycle)")
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return last_sig
+    os.replace(tmp, arc)
+    sz = os.path.getsize(arc) // (1 << 20)
+    commit(f"ckpt-persist: {persist_dir} ({reason}, {sz}MB)", [arc])
+    log(f"persisted {persist_dir} -> {os.path.relpath(arc, REPO)} ({sz}MB, {reason})")
+    return sig
+
+
+def restore_ckpt(persist_dir: str) -> bool:
+    """Restore a persisted archive when the live checkpoint is gone."""
+    arc = archive_name(persist_dir)
+    if not os.path.exists(arc):
+        return False
+    rc = subprocess.call(["tar", "-xzf", arc], cwd=REPO)
+    if rc == 0:
+        log(f"restored {persist_dir} from persisted archive")
+        return True
+    log(f"restore FAILED rc={rc} for {arc}")
+    return False
 
 
 def parse_deadline(spec: str):
@@ -82,20 +166,57 @@ def parse_deadline(spec: str):
     return float(spec)
 
 
+def mark_done(plan: str, name: str, note: str = "") -> str:
+    marker = os.path.join(DONE_ROOT, plan, name)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    open(marker, "w").write(time.strftime("%F %T") + (" " + note if note else ""))
+    return marker
+
+
+def run_child(entry: dict, env: dict) -> int:
+    """Run one attempt under the watchdog, persisting mid-stage if asked."""
+    stall = str(entry.get("stall", 900))
+    persist_dir = entry.get("persist")
+    every = int(entry.get("persist_every", 0) or 0)
+    proc = subprocess.Popen(
+        [sys.executable, "scripts/watchdog_run.py", entry["log"], stall, "--"] + entry["cmd"],
+        cwd=REPO,
+        env=env,
+    )
+    if not (persist_dir and every):
+        return proc.wait()
+    last_sig = None
+    next_persist = time.time() + every
+    while True:
+        try:
+            rc = proc.wait(timeout=20)
+            return rc
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= next_persist:
+            last_sig = persist_ckpt(persist_dir, last_sig, "mid-stage")
+            next_persist = time.time() + every
+
+
 def run_entry(entry: dict, plan: str, deadline) -> bool:
     name = entry["name"]
     marker = os.path.join(DONE_ROOT, plan, name)
     if os.path.exists(marker):
         log(f"{name}: done-marker present, skipping")
         return True
+    skip_if = entry.get("skip_if")
+    if skip_if and os.path.exists(os.path.join(REPO, skip_if)):
+        log(f"{name}: skip_if artifact present ({skip_if}), recording done")
+        mark_done(plan, name, f"skip_if {skip_if}")
+        return True
     req = entry.get("requires")
     if req and not os.path.exists(os.path.join(REPO, req)):
         log(f"QUEUE-SKIP {name}: missing prerequisite {req}")
         return entry.get("optional", False)
 
-    stall = str(entry.get("stall", 900))
     log_path = entry["log"]
     os.makedirs(os.path.join(REPO, os.path.dirname(log_path)), exist_ok=True)
+    persist_dir = entry.get("persist")
     for attempt in range(1, int(entry.get("attempts", 6)) + 1):
         if deadline and time.time() > deadline:
             log(f"QUEUE-DEADLINE before {name} attempt {attempt}; stopping")
@@ -103,24 +224,25 @@ def run_entry(entry: dict, plan: str, deadline) -> bool:
         env = dict(os.environ)
         env.update({k: str(v) for k, v in entry.get("env", {}).items()})
         rp = entry.get("resume_probe")
-        if rp and os.path.exists(os.path.join(REPO, rp)):
-            rkey = entry.get("resume_env", "Q_EXTRA")
-            rflag = entry.get("resume_flag", "--continue_training")
-            env[rkey] = (env.get(rkey, "") + " " + rflag).strip()
-            log(f"{name}: resume probe hit ({rp}) -> {rkey} += {rflag}")
+        if rp:
+            rp_abs = os.path.join(REPO, rp)
+            if not os.path.exists(rp_abs) and persist_dir:
+                restore_ckpt(persist_dir)
+            if os.path.exists(rp_abs):
+                rkey = entry.get("resume_env", "Q_EXTRA")
+                rflag = entry.get("resume_flag", "--continue_training")
+                env[rkey] = (env.get(rkey, "") + " " + rflag).strip()
+                log(f"{name}: resume probe hit ({rp}) -> {rkey} += {rflag}")
         probe_tpu()
         if deadline and time.time() > deadline:  # probe may block through it
             log(f"QUEUE-DEADLINE after probe, before {name}; stopping")
             return False
         log(f"=== {name} attempt {attempt}: {' '.join(entry['cmd'])} ===")
-        rc = subprocess.call(
-            [sys.executable, "scripts/watchdog_run.py", log_path, stall, "--"] + entry["cmd"],
-            cwd=REPO,
-            env=env,
-        )
+        rc = run_child(entry, env)
         if rc == 0:
-            os.makedirs(os.path.dirname(marker), exist_ok=True)
-            open(marker, "w").write(time.strftime("%F %T"))
+            if persist_dir:
+                persist_ckpt(persist_dir, None, "stage-end")
+            marker = mark_done(plan, name)
             c = entry.get("commit")
             if c:
                 # include the done-marker so idempotency survives container
@@ -128,6 +250,8 @@ def run_entry(entry: dict, plan: str, deadline) -> bool:
                 # 17:04 reset wiped the uncommitted r4 markers and would have
                 # re-run every completed stage)
                 commit(c["msg"], c["paths"] + [marker])
+            else:
+                commit(f"queue {plan}: {name} done-marker", [marker])
             return True
         log(f"{name} attempt {attempt} rc={rc}; retrying after tunnel recovery")
         time.sleep(90)
